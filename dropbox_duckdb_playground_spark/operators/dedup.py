@@ -1,0 +1,212 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB: every algorithm here is the shuffle-minimal formulation
+used in public web-scale dedup pipelines:
+
+- exact: one hash-groupBy on a 128-bit content digest (no full-text shuffle
+  — only (digest, key) pairs move).
+- MinHash+LSH: per-row signature (narrow) → band keys → groupBy band
+  (shuffle of small keys) → pairs within buckets. Never all-pairs.
+- n-gram Jaccard: inverted-index join on shingle digests; candidate space
+  is bounded by shared-shingle pairs, not n².
+- SimHash: per-row 60-bit signature, fully map-side (60 conditional sums
+  inside whole-stage codegen; no explode, no shuffle).
+
+Hash portability: digests use md5 (identical across engines) so every
+operator has an exact DuckDB oracle; xxhash64 would be Spark-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dropbox_duckdb_playground_spark.operators.text import tokens_col
+
+# 60-bit portable integer digest: first 15 hex chars of md5 -> bigint.
+def _hex60(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup_groups(
+    df: DataFrame, text: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Exact-duplicate groups by content digest: (fp, keeper, n_dups).
+    The keeper is min(key) — the canonical survivor."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text))), r"\s+", " ")
+    return (
+        df.select(F.md5(norm).alias("fp"), F.col(key))
+        .groupBy("fp")
+        .agg(F.min(key).alias("keeper"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles(
+    df: DataFrame, text: str = "text", key: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (key, shingle).
+
+    Built array-side (transform over token positions) so shingling is a
+    narrow op; only the explode produces rows."""
+    toks = tokens_col(text)
+    # sequence(0, stop) descends when stop < 0 — guard short docs explicitly
+    positions = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    ngrams = F.transform(
+        positions, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return df.select(
+        F.col(key), F.explode(F.array_distinct(ngrams)).alias("shingle")
+    )
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, key: str = "doc_id", num_perm: int = 8
+) -> DataFrame:
+    """MinHash signature per document: (key, mh0..mh{p-1}).
+
+    Permutation i = md5(i || ':' || shingle); the min digest per doc
+    approximates the Jaccard-preserving permutation minimum. One groupBy
+    on key; signatures are p small strings."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_perm)
+    ]
+    return shingle_df.groupBy(key).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, key: str = "doc_id", num_perm: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands, hash each
+    band, self-join per (band_id, band_key) bucket with a < b. Output:
+    distinct (a_id, b_id) candidate pairs.
+
+    Scale: the self-join runs per bucket; bucket sizes are the skew risk —
+    at production scale cap bucket size (count + filter) before pairing."""
+    rows_per_band = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band_id"), F.md5(F.concat_ws("|", *parts)).alias("band_key"))
+        )
+    buckets = sig.select(
+        F.col(key), F.explode(F.array(*band_cols)).alias("b")
+    ).select(key, "b.band_id", "b.band_key")
+    left = buckets.alias("l")
+    right = buckets.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col(f"l.band_id") == F.col(f"r.band_id"))
+            & (F.col(f"l.band_key") == F.col(f"r.band_key"))
+            & (F.col(f"l.{key}") < F.col(f"r.{key}")),
+        )
+        .select(F.col(f"l.{key}").alias("a_id"), F.col(f"r.{key}").alias("b_id"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    shingle_df: DataFrame,
+    key: str = "doc_id",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via inverted-index join.
+
+    |A∩B| from the shingle self-join, |A|,|B| from per-doc sizes;
+    J = common / (|A| + |B| - common). Returns (a_id, b_id, jaccard)
+    for pairs above ``threshold``.
+
+    Scale: joins on the shingle digest (never the raw shingle string);
+    hot shingles (boilerplate) should be frequency-capped upstream."""
+    hashed = shingle_df.select(F.col(key), _hex60(F.col("shingle")).alias("sh"))
+    sizes = hashed.groupBy(key).agg(F.count("*").alias("sz"))
+    l, r = hashed.alias("l"), hashed.alias("r")
+    common = (
+        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col(f"l.{key}") < F.col(f"r.{key}")))
+        .groupBy(F.col(f"l.{key}").alias("a_id"), F.col(f"r.{key}").alias("b_id"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col(key).alias("a_id"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(key).alias("b_id"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text: str = "text", key: str = "doc_id", bits: int = 60) -> DataFrame:
+    """SimHash signature (60-bit, md5-derived) per document: (key, simhash).
+
+    Each token contributes ±1 to each bit position of its 60-bit digest;
+    the signature sets bit b iff the sum at b is positive. Implemented as
+    ``bits`` conditional sums over the token array — fully map-side, no
+    explode, no shuffle, whole-stage-codegen'd."""
+    # materialize the per-token digest array once, then run the 60
+    # conditional sums over it (avoids 60× re-hashing of every token)
+    hashed = df.select(
+        F.col(key), F.transform(tokens_col(text), lambda t: _hex60(t)).alias("hv")
+    )
+    bit_sums = [
+        F.aggregate(
+            F.col("hv"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    with_sums = hashed.select(F.col(key), *bit_sums)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long") * (2**b)).otherwise(0)
+        sig = term if sig is None else sig + term
+    return with_sums.select(F.col(key), sig.alias("simhash"))
+
+
+def hamming_neardup_pairs(
+    sig: DataFrame, key: str = "doc_id", max_hamming: int = 3, bits: int = 60, blocks: int = 4
+) -> DataFrame:
+    """SimHash near-dup pairs within a Hamming radius, via the standard
+    block-permutation trick: split the signature into ``blocks`` chunks;
+    any pair within radius ``max_hamming < blocks`` must agree on ≥1 chunk
+    → equi-join per chunk, then exact Hamming filter via bit_count(xor)."""
+    chunk = bits // blocks
+    mask = (1 << chunk) - 1
+    chunk_cols = [
+        F.struct(
+            F.lit(i).alias("blk"),
+            F.shiftright(F.col("simhash"), i * chunk).bitwiseAND(F.lit(mask)).alias("ck"),
+        )
+        for i in range(blocks)
+    ]
+    keyed = sig.select(
+        F.col(key), F.col("simhash"), F.explode(F.array(*chunk_cols)).alias("c")
+    ).select(key, "simhash", "c.blk", "c.ck")
+    l, r = keyed.alias("l"), keyed.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.ck") == F.col("r.ck"))
+            & (F.col(f"l.{key}") < F.col(f"r.{key}")),
+        )
+        .select(
+            F.col(f"l.{key}").alias("a_id"),
+            F.col(f"r.{key}").alias("b_id"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,133 @@
+"""Relational operator builders — SURVEY §2.2-§2.7 as DataFrame helpers.
+
+These are the reference's SQL/pandas idioms re-expressed as composable
+Spark builders. All stay fully declarative (Catalyst optimizes across
+them): no collect, no Python row loops.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def stable_id(*cols: Column | str, salt: str | None = None) -> Column:
+    """Stable 64-bit id from natural keys.
+
+    Reference uses DuckDB ``HASH(CONCAT(a, '|', b))`` (examples/meta.py:61,83);
+    values are engine-internal join keys, so we standardize on xxhash64
+    (SURVEY §8.1). ``salt`` replicates the reference's salted cluster ids
+    (mapper/messy.py:445-448)."""
+    parts = [F.lit(salt)] if salt is not None else []
+    parts += [F.col(c) if isinstance(c, str) else c for c in cols]
+    return F.xxhash64(*parts)
+
+
+def distinct_on(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column | str] | None = None,
+) -> DataFrame:
+    """DuckDB ``DISTINCT ON (keys)`` with deterministic semantics.
+
+    DuckDB keeps an arbitrary row per key (examples/meta.py:60 etc.);
+    for reproducibility we keep the FIRST row under ``order_by`` (default:
+    all non-key columns ascending — a total order; SURVEY §8.2).
+
+    Scale: one shuffle on ``keys``; the window is rank-1-only so AQE's
+    partial `WindowGroupLimit` pushdown (Spark ≥3.5) prunes per-partition
+    before the shuffle."""
+    if order_by is None:
+        order_by = [c for c in df.columns if c not in keys]
+    if not order_by:
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def argmax_per_group(
+    df: DataFrame,
+    keys: list[str],
+    score: str,
+    tiebreak: list[Column | str] | None = None,
+) -> DataFrame:
+    """Best-scored row per group — the reference's
+    ``sort_values(score, ascending=False).drop_duplicates(keys)`` idiom
+    (mapper/canon.py:161-164,198-201; mapper/messy.py:333-334)."""
+    order = [F.desc(score)] + [
+        F.col(c) if isinstance(c, str) else c
+        for c in (tiebreak or [k for k in df.columns if k not in keys and k != score])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+
+
+def anti_diff(new: DataFrame, cached: DataFrame, keys: list[str]) -> DataFrame:
+    """Rows of ``new`` whose key is absent from ``cached`` — the reference's
+    Python set-difference for incremental crawling (examples/canon/main.py:63-69).
+
+    Scale: a left_anti join; broadcast the cached key set when small."""
+    cached_keys = cached.select(*keys).dropDuplicates(keys)
+    return new.join(cached_keys, on=keys, how="left_anti")
+
+
+def keep_first_merge(
+    batches: list[DataFrame],
+    keys: list[str],
+    order_by: list[Column | str] | None = None,
+) -> DataFrame:
+    """Union batches then keep the first row per key, earlier batches
+    winning — the reference's updated ∪ new ∪ cached etag merge with
+    keep='first' (examples/canon/crawl.py:137-153)."""
+    tagged = [b.withColumn("__batch__", F.lit(i)) for i, b in enumerate(batches)]
+    merged = reduce(DataFrame.unionByName, tagged)
+    order = [F.col("__batch__")] + [
+        F.col(c) if isinstance(c, str) else c for c in (order_by or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        merged.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__", "__batch__")
+    )
+
+
+def multi_left_join(
+    base: DataFrame,
+    others: list[DataFrame],
+    on: list[str],
+    broadcast_others: bool = False,
+) -> DataFrame:
+    """Chained multi-way LEFT equi-join over shared key(s) — the grouping
+    SQL shape (examples/graph/group/meta.py:9-24 one key, 40-55 two keys).
+
+    Scale: with ``broadcast_others`` the whole chain is map-side (no
+    shuffle); otherwise all joins share one hash-partitioning on ``on``,
+    which Catalyst reuses across the chain (single shuffle of each input,
+    no re-shuffle between joins)."""
+    out = base
+    for other in others:
+        right = F.broadcast(other) if broadcast_others else other
+        out = out.join(right, on=on, how="left")
+    return out
+
+
+def union_all(dfs: list[DataFrame]) -> DataFrame:
+    """UNION ALL by name (reference: resolution/main.py:231-244,
+    parallize.py:265-270)."""
+    return reduce(DataFrame.unionByName, dfs)
+
+
+def union_distinct(dfs: list[DataFrame]) -> DataFrame:
+    """UNION with dedup (reference: examples/graph/group/meta.py:27-37)."""
+    return union_all(dfs).distinct()

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; the LSH
+(random-hyperplane) bucketed variant is the scale path: at 100 TB the
+cross join is infeasible, but hyperplane-bucketed candidates cut the
+candidate space by ~2^planes while the final exact re-rank keeps
+precision. All arithmetic stays in Column expressions (codegen) —
+no Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from dropbox_duckdb_playground_spark.operators.dedup import _hex60
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (brute force).
+
+    Output: (query_id, cand_id, cosine) with deterministic ordering
+    (rounded score desc, cand_id asc). Scale: broadcast the query set;
+    the scan over candidates is embarrassingly parallel; per-query top-k
+    is a single shuffle on query_id (rank-1..k window)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4))
+        .select("query_id", "cand_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )
+
+
+def hyperplane_weights(dim: int, planes: int) -> list[list[float]]:
+    """Deterministic ±1 hyperplane weights: plane p, dim d gets the parity
+    bit of md5(f"{p}:{d}") — no stored model, reproducible in any engine."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:15], 16) & 1 else -1.0
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def hyperplane_signature(vec: Column, dim: int, planes: int = 8) -> Column:
+    """Random-hyperplane LSH signature (int, ``planes`` bits).
+    Bit p = 1 iff Σ_d w[p,d]·vec[d] > 0, with deterministic md5-parity
+    weights (`hyperplane_weights`). Pure column arithmetic — codegen'd."""
+    weights = hyperplane_weights(dim, planes)
+    sig = F.lit(0).cast("long")
+    for p in range(planes):
+        warr = F.array(*[F.lit(w) for w in weights[p]])
+        proj = F.aggregate(
+            F.zip_with(vec, warr, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(proj > 0, F.lit(2**p).cast("long")).otherwise(0)
+    return sig
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket;
+    exact cosine re-rank within the bucket. ~2^planes candidate reduction.
+
+    Output schema matches `cosine_topk` (query_id, cand_id, cosine)."""
+    sig = hyperplane_signature(F.col(vec_col), dim, planes)
+    c = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"), sig.alias("bucket")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), sig.alias("bucket")
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4))
+        .select("query_id", "cand_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )

@@ -1,0 +1,133 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure `pyspark.sql.functions` compositions (JVM-side,
+whole-stage-codegen) — no Python UDFs in the hot path. Token model:
+whitespace tokenization of trimmed text (deterministic, oracle-portable).
+
+Scale notes: every operator here is embarrassingly parallel per row
+(narrow transformations, zero shuffles) except `lang_id_predict`, which
+shuffles once on token and once on doc_id — both on bounded-cardinality
+keys. At 100 TB the token→profile join broadcasts the profile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    """Whitespace tokens of trimmed text (empty text -> empty array)."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: str | Column = "text") -> Column:
+    return F.size(tokens_col(text))
+
+
+def token_stats(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Per-document token statistics: n_chars, n_tokens, n_distinct_tokens,
+    avg_token_len. One narrow pass + one small agg per doc."""
+    toks = tokens_col(text)
+    return df.select(
+        F.col(key),
+        F.length(text).cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t))
+            / F.greatest(F.size(toks), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """Heuristic document-quality features + combined score.
+
+    Features follow the public Gopher/C4-style rules: length, mean word
+    length, stopword ratio, repetition (distinct-token ratio). The score
+    is a fixed deterministic linear blend for filtering; thresholds are
+    caller policy."""
+    toks = tokens_col(text)
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    stop_cnt = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    stop_ratio = stop_cnt / n_tok
+    mean_wlen = F.aggregate(
+        toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
+    ) / n_tok
+    score = (
+        F.least(F.size(toks) / F.lit(100.0), F.lit(1.0)) * 0.25
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.25
+        + distinct_ratio * 0.25
+        + F.when((mean_wlen >= 3) & (mean_wlen <= 10), 1.0).otherwise(0.0) * 0.25
+    )
+    return df.select(
+        F.col(key),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(mean_wlen, 4).alias("mean_word_len"),
+        F.round(score, 4).alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataFrame:
+    """Stable content fingerprint: md5 of whitespace-normalized lowercase
+    text. md5 (not xxhash64) so the fingerprint is portable across engines
+    and storage systems."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text))), r"\s+", " ")
+    return df.select(F.col(key), F.md5(norm).alias("fp"))
+
+
+def lang_id_predict(
+    docs: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    label: str = "lang",
+    profile_size: int = 20,
+) -> DataFrame:
+    """Token-profile language ID (n-gram-frequency heuristic).
+
+    Builds per-language profiles (top-``profile_size`` tokens by frequency
+    from the labeled corpus), then classifies each document by the highest
+    profile-overlap count. Deterministic tie-breaks: token then language
+    code ascending.
+
+    Scale: profiles are tiny (n_langs × profile_size rows) → broadcast
+    join against the exploded token table; the only real shuffle is the
+    final per-document argmax."""
+    toks = docs.select(
+        F.col(key), F.col(label), F.explode(tokens_col(text)).alias("token")
+    )
+    freq = toks.groupBy(label, "token").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy(label).orderBy(F.desc("cnt"), F.asc("token"))
+    profile = (
+        freq.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= profile_size)
+        .select(F.col(label).alias("cand_lang"), "token")
+    )
+    scores = (
+        toks.join(F.broadcast(profile), "token")
+        .groupBy(key, "cand_lang")
+        .agg(F.count("*").alias("overlap"))
+    )
+    w2 = Window.partitionBy(key).orderBy(F.desc("overlap"), F.asc("cand_lang"))
+    return (
+        scores.withColumn("__rn__", F.row_number().over(w2))
+        .filter(F.col("__rn__") == 1)
+        .select(F.col(key), F.col("cand_lang").alias("pred_lang"), F.col("overlap"))
+    )

@@ -1,0 +1,35 @@
+"""Connected components: chains, triangles, isolated edges, singletons
+(the FIXTURES.md A7 pair-graph shapes)."""
+
+from __future__ import annotations
+
+from dropbox_duckdb_playground_spark.operators.components import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = connected_components(df).collect()
+    clusters = {}
+    for r in out:
+        clusters.setdefault(r.cluster_id, set()).add(r.node_id)
+    return set(frozenset(s) for s in clusters.values())
+
+
+def test_chain(spark):
+    assert _cc(spark, [(1, 2), (2, 3), (3, 4)]) == {frozenset({1, 2, 3, 4})}
+
+
+def test_triangle_plus_isolated_edge(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (3, 1), (10, 11)])
+    assert got == {frozenset({1, 2, 3}), frozenset({10, 11})}
+
+
+def test_direction_ignored(spark):
+    got = _cc(spark, [(5, 1), (1, 9), (9, 5), (7, 7)])
+    assert got == {frozenset({1, 5, 9}), frozenset({7})}
+
+
+def test_two_long_chains(spark):
+    e = [(i, i + 1) for i in range(0, 20)] + [(i, i + 1) for i in range(100, 115)]
+    got = _cc(spark, e)
+    assert got == {frozenset(range(0, 21)), frozenset(range(100, 116))}

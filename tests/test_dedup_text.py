@@ -1,0 +1,111 @@
+"""Dedup + text operator semantics on controlled inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dropbox_duckdb_playground_spark.operators import dedup as D
+from dropbox_duckdb_playground_spark.operators import text as TX
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(spark):
+    df = _docs(
+        spark,
+        [(1, "hello world"), (2, "Hello   WORLD"), (3, "other text")],
+    )
+    out = {(r.keeper, r.n_dups) for r in D.exact_dedup_groups(df).collect()}
+    # normalization: case + whitespace collapse -> docs 1,2 identical
+    assert out == {(1, 2), (3, 1)}
+
+
+def test_shingles(spark):
+    df = _docs(spark, [(1, "a b c d")])
+    got = {r.shingle for r in D.shingles(df, n=3).collect()}
+    assert got == {"a b c", "b c d"}
+
+
+def test_shingles_short_doc_empty(spark):
+    df = _docs(spark, [(1, "a b")])
+    assert D.shingles(df, n=3).count() == 0
+
+
+def test_minhash_identical_docs_pair(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy dog again"),
+            (3, "completely different words appear in this one here now"),
+        ],
+    )
+    sig = D.minhash_signatures(D.shingles(df))
+    pairs = {(r.a_id, r.b_id) for r in D.lsh_candidate_pairs(sig).collect()}
+    assert (1, 2) in pairs
+    assert all(p[0] < p[1] for p in pairs)
+
+
+def test_jaccard_exact_value(spark):
+    # doc1: shingles {a b c, b c d}; doc2: {a b c}; J = 1/2
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c")])
+    out = D.ngram_jaccard_pairs(D.shingles(df), threshold=0.0).collect()
+    assert len(out) == 1
+    assert out[0].a_id == 1 and out[0].b_id == 2
+    assert abs(out[0].jaccard - 0.5) < 1e-9
+
+
+def test_simhash_identical_and_near(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            (2, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            (3, "z1 z2 z3 z4 z5 z6 z7 z9"),
+        ],
+    )
+    sigs = {r.doc_id: r.simhash for r in D.simhash(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+    pairs = D.hamming_neardup_pairs(D.simhash(df), max_hamming=0).collect()
+    assert {(p.a_id, p.b_id) for p in pairs} == {(1, 2)}
+
+
+def test_token_stats(spark):
+    df = _docs(spark, [(1, "  aa bb  cc aa ")])
+    r = TX.token_stats(df).collect()[0]
+    assert (r.n_tokens, r.n_distinct_tokens) == (4, 3)
+    assert abs(r.avg_token_len - 2.0) < 1e-9
+
+
+def test_quality_monotone_repetition(spark):
+    """A degenerate all-same-token doc scores below a varied doc."""
+    df = _docs(
+        spark,
+        [
+            (1, "the cat sat on a mat and then the dog came in too"),
+            (2, "spam spam spam spam spam spam spam spam spam spam"),
+        ],
+    )
+    q = {r.doc_id: r.quality for r in TX.quality_score(df).collect()}
+    assert q[1] > q[2]
+
+
+def test_lang_id_recovers_obvious_split(spark):
+    rows = []
+    for i in range(10):
+        rows.append((i, "aaa bbb ccc ddd", "xx"))
+        rows.append((100 + i, "qqq rrr sss ttt", "yy"))
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    out = TX.lang_id_predict(df)
+    preds = {r.doc_id: r.pred_lang for r in out.collect()}
+    assert all(preds[i] == "xx" for i in range(10))
+    assert all(preds[100 + i] == "yy" for i in range(10))
+
+
+def test_fingerprint_normalizes(spark):
+    df = _docs(spark, [(1, " A  b "), (2, "a b")])
+    fps = {r.doc_id: r.fp for r in TX.fingerprint(df).collect()}
+    assert fps[1] == fps[2]
