@@ -895,6 +895,237 @@ def q30_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# §2.2 P3 — star-except projection (DuckDB `* EXCLUDE` through the shim)
+
+
+@register(
+    "q31_star_exclude",
+    oracle="SELECT * EXCLUDE (c_acctbal) FROM customer",
+    tags="P3",
+)
+def q31_star_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dropbox_duckdb_playground_spark.sql.dialect import translate
+
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(translate("SELECT * EXCLUDE (c_acctbal) FROM customer"))
+
+
+# §2.11 N2 — nested struct flatten (from_json + struct projection)
+
+
+@register(
+    "q32_struct_flatten",
+    oracle="""
+    SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS k
+    FROM events
+    """,
+    tags="N2 F8",
+)
+def q32_struct_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id", F.from_json("props", "struct<k:bigint>").alias("s")
+    ).select("event_id", "s.*")
+
+
+# §2.10 E2-ish — canon matching with logistic levenshtein scorer + argmax.
+# Messy = part names; canon = the distinct first tokens of part names.
+
+
+@register(
+    "q33_canon_match",
+    oracle="""
+    WITH canon AS (
+      SELECT DISTINCT string_split(p_name, ' ')[1] AS canon_name FROM part),
+    pairs AS (
+      SELECT p.p_partkey AS messy_id, p.p_name AS messy_name, c.canon_name
+      FROM part p JOIN canon c
+        ON string_split(p.p_name, ' ')[1] = c.canon_name),
+    scored AS (
+      SELECT messy_id, canon_name,
+             round(1.0 / (1.0 + exp(-(-2.0 + 4.0 * (1.0 -
+               levenshtein(messy_name, canon_name) * 1.0 /
+               greatest(greatest(length(messy_name), length(canon_name)), 1)
+             )))), 6) AS score
+      FROM pairs)
+    SELECT messy_id, canon_name, score FROM (
+      SELECT messy_id, canon_name, score,
+             row_number() OVER (PARTITION BY messy_id
+                                ORDER BY score DESC, canon_name ASC) AS rn
+      FROM scored WHERE score > 0.25) WHERE rn = 1
+    """,
+    tags="E2 E6 A4 F7",
+)
+def q33_canon_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dropbox_duckdb_playground_spark.er.scoring import norm_levenshtein_sim
+
+    p = load(spark, sf_dir, "part")
+    canon = p.select(
+        F.substring_index("p_name", " ", 1).alias("canon_name")
+    ).distinct()
+    pairs = p.select(
+        F.col("p_partkey").alias("messy_id"),
+        F.col("p_name").alias("messy_name"),
+        F.substring_index("p_name", " ", 1).alias("canon_name"),
+    ).join(canon, "canon_name")
+    z = F.lit(-2.0) + 4.0 * norm_levenshtein_sim(
+        F.col("messy_name"), F.col("canon_name")
+    )
+    scored = pairs.withColumn("score", F.round(1.0 / (1.0 + F.exp(-z)), 6)).filter(
+        F.col("score") > 0.25
+    )
+    return argmax_per_group(
+        scored.select("messy_id", "canon_name", "score"),
+        keys=["messy_id"],
+        score="score",
+        tiebreak=["canon_name"],
+    )
+
+
+# §2.10 E4-E7 end-to-end — near-dup doc clustering: jaccard edges →
+# weak connected components (oracle: recursive-CTE transitive closure)
+
+
+@register(
+    "q34_er_doc_clusters",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, trim(text) AS t FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(t, '\\s+'), 1) AS pos
+      FROM toks),
+    sh AS (
+      SELECT DISTINCT doc_id, {DUCK_ID.format(x="shingle")} AS sh FROM (
+        SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   AS shingle
+        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      WHERE shingle IS NOT NULL),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS common
+      FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+      GROUP BY 1, 2),
+    match_edges AS (
+      SELECT a, b FROM pairs p
+      JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id
+      WHERE round(p.common * 1.0 / (sa.sz + sb.sz - p.common), 4) >= 0.2),
+    edges AS (
+      SELECT a, b FROM match_edges UNION SELECT b, a FROM match_edges
+      UNION SELECT doc_id, doc_id FROM documents),
+    rec AS (
+      WITH RECURSIVE reach(a, b) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      SELECT a, b FROM reach)
+    SELECT a AS node_id, min(b) AS cluster_id FROM rec GROUP BY a
+    """,
+    tags="E4 E5 E6 E7 dedup-pipeline",
+)
+def q34_er_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingles(d, n=3)
+    pairs = D.ngram_jaccard_pairs(sh, threshold=0.2)
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).union(d.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
+    return connected_components(edges)
+
+
+# SimHash near-dup pairs within Hamming radius 3 (block-permutation join)
+
+
+@register(
+    "q35_hamming_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents),
+    h AS (SELECT doc_id, (('0x' || substr(md5(tok), 1, 15))::BIGINT) AS hv
+          FROM toks),
+    bits AS (
+      SELECT doc_id, r.b,
+             sum(CASE WHEN (hv >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h, range(60) r(b) GROUP BY doc_id, r.b),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT)
+                 AS simhash
+      FROM bits GROUP BY doc_id),
+    chunks AS (
+      SELECT doc_id, simhash, r.blk,
+             (simhash >> (r.blk * 15)) & 32767 AS ck
+      FROM sig, range(4) r(blk))
+    SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+           CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+    FROM chunks l JOIN chunks r
+      ON l.blk = r.blk AND l.ck = r.ck AND l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= 3
+    """,
+    tags="dedup-simhash-pairs",
+)
+def q35_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = D.simhash(load(spark, sf_dir, "documents"))
+    out = D.hamming_neardup_pairs(sig, max_hamming=3, bits=60, blocks=4)
+    return out.select("a_id", "b_id", F.col("hamming").cast("long").alias("hamming"))
+
+
+# LSH-bucketed approximate nearest neighbors (the 100 TB scale path for
+# similarity search) — deterministic hyperplane weights inlined in the
+# oracle so both engines compute identical buckets.
+
+
+def _lsh_oracle() -> str:
+    from dropbox_duckdb_playground_spark.operators.similarity import (
+        hyperplane_weights,
+    )
+
+    planes = hyperplane_weights(64, 8)
+    proj = lambda side, w: (  # noqa: E731
+        "list_aggregate(list_transform(range(1, 65), i -> "
+        f"CAST({side}[i] AS DOUBLE) * ({w})[i]), 'sum')"
+    )
+    sig_terms = []
+    for p, w in enumerate(planes):
+        warr = "[" + ", ".join(str(x) for x in w) + "]"
+        sig_terms.append(
+            f"(CASE WHEN {proj('embedding', warr)} > 0 THEN {2**p} ELSE 0 END)"
+        )
+    sig = " + ".join(sig_terms)
+    return f"""
+    WITH sigged AS (
+      SELECT vec_id, embedding, CAST({sig} AS BIGINT) AS bucket FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+          FROM sigged WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             round(
+               list_aggregate(list_transform(range(1, 65),
+                   i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+                 'sum')
+               / (sqrt(list_aggregate(list_transform(range(1, 65),
+                     i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), 'sum'))
+                  * sqrt(list_aggregate(list_transform(range(1, 65),
+                     i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum'))),
+               4) AS cosine
+      FROM sigged c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id)
+    SELECT query_id, cand_id, cosine FROM (
+      SELECT query_id, cand_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, cand_id ASC) AS rn
+      FROM scored) WHERE rn <= 5
+    """
+
+
+@register("q36_lsh_ann", oracle=_lsh_oracle(), tags="similarity-ann-lsh")
+def q36_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dropbox_duckdb_playground_spark.operators.similarity import lsh_ann_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(e, e.filter(F.col("vec_id") < 10), dim=64, k=5, planes=8)
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
