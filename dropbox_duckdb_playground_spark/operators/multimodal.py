@@ -1,0 +1,131 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines.
+
+Model: media travels as an opaque ``binary`` column plus a typed metadata
+struct — the layout used by public web-scale dataset pipelines
+(img2dataset/WebDataset-style):
+
+    content: binary, meta: struct<modality:string, mime:string,
+    width:int, height:int, duration_ms:bigint>
+
+Decode / feature-extraction run as Arrow-batched `mapInPandas` stages so
+the heavy per-item work scales with partitions and never touches the
+driver. The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this
+container — `decode_fn` is pluggable and the default is a clearly-marked
+deterministic fake, so the Spark-side plumbing (schema, batching,
+partitioning) is real and tested while the codec is a stub.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("modality", T.StringType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+
+def attach_media_meta(
+    df: DataFrame,
+    modality: str,
+    mime: str,
+    content_col: str = "content",
+) -> DataFrame:
+    """Wrap raw bytes with the typed metadata struct (dims unknown until
+    decode)."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("bigint").alias("duration_ms"),
+        ),
+    )
+
+
+def fake_image_decode(content: bytes) -> dict:
+    """Deterministic stand-in for a real image decoder (PIL not in this
+    container). Derives stable pseudo-dimensions and a 4-dim feature
+    vector from the content digest — replace with a real codec via the
+    ``decode_fn`` parameter of `decode_features`."""
+    if content is None:
+        raise NotImplementedError("real image decode requires PIL/ffmpeg")
+    digest = hashlib.md5(content).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    feats = [b / 255.0 for b in digest[2:6]]
+    return {"width": width, "height": height, "features": feats}
+
+
+def decode_features(
+    media: DataFrame,
+    decode_fn: Callable[[bytes], dict] = fake_image_decode,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Arrow-batched decode + feature extraction:
+    (media_id, width, height, features array<double>).
+
+    Scale: pure map-side; batch size bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch so a partition of
+    high-resolution blobs doesn't OOM the Python worker."""
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "width": [], "height": [], "features": []}
+            for _, row in pdf.iterrows():
+                d = decode_fn(row[content_col])
+                rows["media_id"].append(row[id_col])
+                rows["width"].append(d["width"])
+                rows["height"].append(d["height"])
+                rows["features"].append(d["features"])
+            yield pd.DataFrame(rows)
+
+    return media.select(id_col, content_col).mapInPandas(
+        run,
+        schema="media_id bigint, width int, height int, features array<double>",
+    )
+
+
+def frame_sample_plan(
+    media: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms)
+    given per-item duration metadata — the explode that fans a video into
+    decode tasks. The actual frame extraction is the pluggable decode
+    stage; this produces the distributed work list."""
+    return media.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ts_ms"),
+    )

@@ -1,0 +1,98 @@
+"""Multimodal column plumbing + Structured Streaming wrappers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dropbox_duckdb_playground_spark.operators.multimodal import (
+    attach_media_meta,
+    decode_features,
+    fake_image_decode,
+    frame_sample_plan,
+)
+from dropbox_duckdb_playground_spark.streaming.incremental import (
+    incremental_file_stream,
+)
+from dropbox_duckdb_playground_spark.streaming.windows import (
+    sessionized,
+    windowed_counts,
+)
+
+
+def _media(spark):
+    rows = [(i, bytes([i]) * 32) for i in range(5)]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    return attach_media_meta(df, "image", "image/png")
+
+
+def test_media_schema(spark):
+    df = _media(spark)
+    assert dict(df.dtypes)["meta"].startswith("struct<modality:string")
+
+
+def test_decode_features_deterministic(spark):
+    df = _media(spark)
+    out1 = {r.media_id: (r.width, r.height, tuple(r.features)) for r in decode_features(df).collect()}
+    out2 = {r.media_id: (r.width, r.height, tuple(r.features)) for r in decode_features(df).collect()}
+    assert out1 == out2
+    assert all(64 <= v[0] < 256 and len(v[2]) == 4 for v in out1.values())
+
+
+def test_decode_stub_raises_on_null(spark):
+    with pytest.raises(NotImplementedError):
+        fake_image_decode(None)
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame(
+        [(1, 3500)], "media_id long, duration long"
+    ).select(
+        "media_id",
+        F.struct(F.col("duration").alias("duration_ms")).alias("meta"),
+    )
+    got = [r.frame_ts_ms for r in frame_sample_plan(df, every_ms=1000).collect()]
+    assert got == [0, 1000, 2000, 3000]
+
+
+def test_windowed_counts_batch(spark, sf_dir):
+    from dropbox_duckdb_playground_spark.catalog import load
+
+    e = load(spark, sf_dir, "events")
+    out = windowed_counts(e, window="1 hour")
+    row = out.orderBy("win", "event_type").first()
+    assert row.n >= 1 and row.win.start is not None
+
+
+def test_sessionized_batch(spark, sf_dir):
+    from dropbox_duckdb_playground_spark.catalog import load
+
+    e = load(spark, sf_dir, "events")
+    out = sessionized(e, gap="1 hour")
+    assert out.count() > 0
+
+
+def test_incremental_file_stream_available_now(spark, tmp_path):
+    """availableNow semantics: first run consumes existing files; a second
+    run with the same checkpoint consumes only NEW files (exactly-once)."""
+    src = str(tmp_path / "stream_src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, "a")], ["k", "v"]).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    seen: list[int] = []
+
+    def collect_batch(df, epoch_id):
+        seen.append(df.count())
+
+    q = incremental_file_stream(spark, src, schema, collect_batch, ckpt)
+    q.awaitTermination(60)
+    assert sum(seen) == 1
+
+    spark.createDataFrame([(2, "b"), (3, "c")], ["k", "v"]).write.mode(
+        "append"
+    ).parquet(src)
+    seen.clear()
+    q2 = incremental_file_stream(spark, src, schema, collect_batch, ckpt)
+    q2.awaitTermination(60)
+    assert sum(seen) == 2  # only the two new rows
