@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dropbox_duckdb_playground_spark.operators.relational import fan_out
 from dropbox_duckdb_playground_spark.operators.text import tokens_col
 
 # 60-bit portable integer digest: first 15 hex chars of md5 -> bigint.
@@ -56,7 +57,7 @@ def shingles(
     ngrams = F.transform(
         positions, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )
-    return df.select(
+    return fan_out(df).select(
         F.col(key), F.explode(F.array_distinct(ngrams)).alias("shingle")
     )
 
@@ -155,7 +156,7 @@ def simhash(df: DataFrame, text: str = "text", key: str = "doc_id", bits: int = 
     explode, no shuffle, whole-stage-codegen'd."""
     # materialize the per-token digest array once, then run the 60
     # conditional sums over it (avoids 60× re-hashing of every token)
-    hashed = df.select(
+    hashed = fan_out(df).select(
         F.col(key), F.transform(tokens_col(text), lambda t: _hex60(t)).alias("hv")
     )
     bit_sums = [

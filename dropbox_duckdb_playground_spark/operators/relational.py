@@ -13,6 +13,23 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Spread a narrow input across the cluster before a compute-heavy
+    stage (explode, per-row hashing, array aggregation).
+
+    Needed when the upstream scan cannot split — e.g. a single parquet
+    row group (exactly the shape of small dimension exports): every
+    downstream stage would otherwise run on ONE task no matter how many
+    executors exist. The round-robin shuffle is priced at the input size
+    (tiny by definition here); at 100 TB fact scale scans split on row
+    groups and this becomes a no-op decision for the caller."""
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= partitions:
+        return df
+    return df.repartition(partitions)
+
+
 def stable_id(*cols: Column | str, salt: str | None = None) -> Column:
     """Stable 64-bit id from natural keys.
 

@@ -49,10 +49,12 @@ def cosine_topk(
     (rounded score desc, cand_id asc). Scale: broadcast the query set;
     the scan over candidates is embarrassingly parallel; per-query top-k
     is a single shuffle on query_id (rank-1..k window)."""
+    from dropbox_duckdb_playground_spark.operators.relational import fan_out
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = embeddings.select(
+    c = fan_out(embeddings).select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -112,7 +114,10 @@ def lsh_ann_topk(
     exact cosine re-rank within the bucket. ~2^planes candidate reduction.
 
     Output schema matches `cosine_topk` (query_id, cand_id, cosine)."""
+    from dropbox_duckdb_playground_spark.operators.relational import fan_out
+
     sig = hyperplane_signature(F.col(vec_col), dim, planes)
+    embeddings = fan_out(embeddings)
     c = embeddings.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"), sig.alias("bucket")
     )

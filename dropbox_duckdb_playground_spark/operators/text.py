@@ -110,7 +110,9 @@ def lang_id_predict(
     Scale: profiles are tiny (n_langs × profile_size rows) → broadcast
     join against the exploded token table; the only real shuffle is the
     final per-document argmax."""
-    toks = docs.select(
+    from dropbox_duckdb_playground_spark.operators.relational import fan_out
+
+    toks = fan_out(docs).select(
         F.col(key), F.col(label), F.explode(tokens_col(text)).alias("token")
     )
     freq = toks.groupBy(label, "token").agg(F.count("*").alias("cnt"))
