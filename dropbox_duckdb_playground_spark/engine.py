@@ -7,6 +7,13 @@ lazy DataFrame; materialization is an explicit Parquet write. This
 replaces `DataFrameStorage` (pandas/pyarrow/vaex) + `DuckDBBackend.register`
 (batch_framework/rdb.py:83-95) with one abstraction.
 
+SURVEY §2.1 coverage: S1 parquet scan (`register(id, path)`), S2 parquet
+sink (`save`), S4 view registration (`register` + temp view), S5 CTAS
+(`engine.sql(...)` then `save` — or `saveAsTable` on a metastore deploy),
+S12 copy/drop/exists (`copy`/`drop`/`__contains__`). S6 (shipping the
+.duckdb DB file to remote storage) is obsolete by design: persistence IS
+the Parquet/metastore write, there is no engine-state file to ship.
+
 Scale notes: `save()` writes Parquet with optional `partition_by` /
 `bucket_by` so that downstream joins on the bucketed key avoid a shuffle.
 Reads stay lazy — nothing is collected to the driver.

@@ -1,0 +1,123 @@
+"""ER match learner (E10) — self-contained, no interactive dependency.
+
+The reference's ``CanonMatchLearner`` / ``MessyMatchLearner``
+(reference: examples/graph/resolution/learner.py:15-119) console-label
+candidate pairs, call dedupe's active learning ``train(recall=0.9)``,
+and persist a training JSON + binary model that inference later loads.
+That couples the pipeline to the ``dedupe`` package and a human in the
+loop (SURVEY §8.5).
+
+This learner keeps the artifact contract (labeled pairs in → persisted
+weights out → scorer usable by ``er.scoring``) but is self-contained:
+
+- features: the SAME per-field similarity expressions inference uses
+  (`norm_levenshtein_sim`), so train/serve skew is structurally zero;
+- model: L2-regularized logistic regression fit on the driver with
+  plain numpy IRLS — labeled training sets are human-sized (the
+  reference's shipped training JSON is ~100 pairs), so distributed
+  training would be pure overhead. Feature *computation* stays in
+  Spark (JVM expressions), only the tiny (n_pairs × n_fields) matrix
+  is collected;
+- artifact: JSON weights, loadable anywhere, fed to
+  ``scoring.expression_scorer(fields, weights, bias)`` for fully
+  JVM-side distributed inference — the model is a Column expression,
+  not a broadcast pickle.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dropbox_duckdb_playground_spark.er.scoring import (
+    expression_scorer,
+    norm_levenshtein_sim,
+)
+
+
+@dataclass
+class MatchModel:
+    fields: list[str]
+    weights: list[float]
+    bias: float
+
+    def scorer(self):
+        """Distributed scorer closure (JVM Column expressions)."""
+        return expression_scorer(self.fields, self.weights, self.bias)
+
+    def dumps(self) -> str:
+        return json.dumps(
+            {"fields": self.fields, "weights": self.weights, "bias": self.bias}
+        )
+
+    @staticmethod
+    def loads(s: str) -> "MatchModel":
+        d = json.loads(s)
+        return MatchModel(d["fields"], d["weights"], d["bias"])
+
+
+def pair_features(pairs: DataFrame, fields: list[str]) -> DataFrame:
+    """Per-field similarity features for a_/b_-prefixed pair columns —
+    computed by the executors, identical to inference-time features."""
+    cols = [
+        norm_levenshtein_sim(F.col(f"a_{f}"), F.col(f"b_{f}")).alias(f"sim_{f}")
+        for f in fields
+    ]
+    return pairs.select(*cols)
+
+
+def train_matcher(
+    labeled_pairs: DataFrame,
+    fields: list[str],
+    label_col: str = "is_match",
+    l2: float = 1e-3,
+    iters: int = 50,
+) -> MatchModel:
+    """Fit logistic weights on labeled pairs (1 = match, 0 = distinct).
+
+    Feature extraction runs in Spark; the IRLS solve runs on the driver
+    over the collected (n_pairs × n_fields) matrix — labeled data is
+    human-curated and tiny by construction, the candidate universe never
+    leaves the cluster."""
+    import numpy as np
+
+    pdf = labeled_pairs.select(
+        *[
+            norm_levenshtein_sim(F.col(f"a_{f}"), F.col(f"b_{f}")).alias(f"sim_{f}")
+            for f in fields
+        ],
+        F.col(label_col).cast("double").alias("_y"),
+    ).toPandas()
+    x = np.column_stack(
+        [pdf[f"sim_{f}"].to_numpy(dtype=float) for f in fields]
+        + [np.ones(len(pdf))]
+    )
+    y = pdf["_y"].to_numpy(dtype=float)
+    w = np.zeros(x.shape[1])
+    reg = np.full(x.shape[1], l2)
+    reg[-1] = 0.0  # don't regularize the bias
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-x @ w))
+        grad = x.T @ (p - y) / len(y) + reg * w
+        s = np.clip(p * (1 - p), 1e-6, None)
+        hess = (x.T * s) @ x / len(y) + np.diag(reg)
+        step = np.linalg.solve(hess, grad)
+        w = w - step
+        if np.abs(step).max() < 1e-8:
+            break
+    return MatchModel(list(fields), [float(v) for v in w[:-1]], float(w[-1]))
+
+
+def save_model(model: MatchModel, path: str) -> None:
+    """Persist the weights artifact (reference keeps a training JSON +
+    binary model per matcher, learner.py:49-66 — ours is one JSON)."""
+    with open(path, "w") as fh:
+        fh.write(model.dumps())
+
+
+def load_model(path: str) -> MatchModel:
+    with open(path) as fh:
+        return MatchModel.loads(fh.read())

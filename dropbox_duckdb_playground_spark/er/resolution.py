@@ -112,3 +112,32 @@ def resolve_entities(
     from dropbox_duckdb_playground_spark.er.clustering import combine_mappings
 
     return combine_mappings(mappers)
+
+
+def validate_entity_map(
+    features: DataFrame,
+    entity_map: DataFrame,
+    pairs: DataFrame | None = None,
+    id_col: str = "node_id",
+) -> dict[str, int]:
+    """V4: id-consistency diagnostics across the feature / entity-map /
+    candidate-pair tables (reference `MessyEntityMapValidate`,
+    examples/graph/resolution/mapper/messy.py:253-282). Join-based count
+    checks — each is one left_anti aggregate, nothing collected:
+
+    - ``unmapped``: feature ids with no entity-map row,
+    - ``orphan_mapped``: entity-map ids absent from the features,
+    - ``orphan_paired``: pair endpoints absent from the features.
+    """
+    feat_ids = features.select(F.col(id_col).alias("messy_id"))
+    mapped = entity_map.select("messy_id")
+    out = {
+        "unmapped": feat_ids.join(mapped, "messy_id", "left_anti").count(),
+        "orphan_mapped": mapped.join(feat_ids, "messy_id", "left_anti").count(),
+    }
+    if pairs is not None:
+        ends = pairs.select(F.col("a_id").alias("messy_id")).union(
+            pairs.select(F.col("b_id").alias("messy_id"))
+        )
+        out["orphan_paired"] = ends.join(feat_ids, "messy_id", "left_anti").count()
+    return out

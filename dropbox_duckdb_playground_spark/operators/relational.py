@@ -140,11 +140,21 @@ def multi_left_join(
 
 
 def union_all(dfs: list[DataFrame]) -> DataFrame:
-    """UNION ALL by name (reference: resolution/main.py:231-244,
-    parallize.py:265-270)."""
+    """U2/U3: UNION ALL by name (reference: resolution/main.py:231-244,
+    parallize.py:265-270 — also the Python-side pd/vx/pa concat merge)."""
     return reduce(DataFrame.unionByName, dfs)
 
 
 def union_distinct(dfs: list[DataFrame]) -> DataFrame:
-    """UNION with dedup (reference: examples/graph/group/meta.py:27-37)."""
+    """U1: UNION with dedup (reference: examples/graph/group/meta.py:27-37).
+    A3 full-row ``SELECT DISTINCT`` is the single-frame case
+    (mapper/messy.py:234): ``union_distinct([df])`` ≡ ``df.distinct()``."""
     return union_all(dfs).distinct()
+
+
+def rename(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """P7 rename-only projection (reference: resolution/main.py:199-207
+    ``cluster_id AS new_id``); P2 star projection is the empty mapping.
+    Pure metadata — no expression evaluation, plans identically to
+    ``SELECT * `` with aliases."""
+    return df.withColumnsRenamed(mapping)

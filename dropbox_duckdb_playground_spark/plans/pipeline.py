@@ -82,7 +82,7 @@ class PyNode(Node):
     """Typed whole-table function node — the `ObjProcessor` equivalent
     (reference: batch_framework/etl.py:400-480). ``transform`` maps the
     input DataFrames to output DataFrames; declared ``output_schemas``
-    are validated (arity + schema) like the reference's annotation
+    are validated (V3: arity + schema) like the reference's annotation
     reflection (etl.py:444-457)."""
 
     transform: Callable[[list[DataFrame]], list[DataFrame]]
@@ -115,10 +115,12 @@ class PyNode(Node):
 
 @dataclass
 class ValidateLinkIds(Node):
-    """Referential-integrity validator: every ``fk`` value in the link
-    table exists as ``pk`` in the node table (reference `LinkIDValidator`,
-    examples/graph/validate.py:8-43). Eager (runs a count) by design —
-    validation is load-bearing (SURVEY §8.8)."""
+    """Referential-integrity validator (V1, also the A6 subset check):
+    every ``fk`` value in the link table exists as ``pk`` in the node
+    table (reference `LinkIDValidator`, examples/graph/validate.py:8-43).
+    Eager (runs a count) by design — validation is load-bearing (SURVEY
+    §8.8). Scale: left_anti join with limit(1) — stops at the first
+    dangling id, no full materialization."""
 
     link_id: str
     node_id: str
@@ -163,8 +165,8 @@ class AssertNonEmpty(Node):
 
 
 def assert_frames_equal(a: DataFrame, b: DataFrame) -> None:
-    """Differential check (`AssertEqual`, examples/test_parallel.py:77-95):
-    same multiset of rows both ways + same count."""
+    """Differential check (V2: `AssertEqual`, examples/test_parallel.py:
+    77-95): same multiset of rows both ways + same count."""
     if a.count() != b.count():
         raise ValidationError("frame count mismatch")
     if a.exceptAll(b).limit(1).count() or b.exceptAll(a).limit(1).count():

@@ -30,6 +30,8 @@ _SPARK_TO_REDIS = {
 
 
 def _type_tag(spark_dtype: str) -> str:
+    """F10: dtype→RedisGraph tag map over ``df.dtypes`` (reference:
+    examples/graph/group/redisgraph.py:11-14)."""
     return _SPARK_TO_REDIS.get(spark_dtype, "STRING")
 
 

@@ -130,3 +130,14 @@ def test_pandas_batch_scorer_roundtrip(spark):
     scorer = pandas_batch_scorer(pickle.dumps(model), score_fn)
     got = {(r.a_id, r.b_id): r.score for r in scorer(pairs).collect()}
     assert got == {(1, 2): 1.0, (3, 4): 0.0}
+
+
+def test_validate_entity_map(spark):
+    from dropbox_duckdb_playground_spark.er.resolution import validate_entity_map
+
+    feats = spark.createDataFrame([("a",), ("b",), ("c",)], ["node_id"])
+    emap = spark.createDataFrame([("a", "x"), ("b", "x"), ("z", "y")],
+                                 ["messy_id", "new_id"])
+    pairs = spark.createDataFrame([("a", "b"), ("a", "q")], ["a_id", "b_id"])
+    got = validate_entity_map(feats, emap, pairs)
+    assert got == {"unmapped": 1, "orphan_mapped": 1, "orphan_paired": 1}

@@ -1,0 +1,135 @@
+"""MapReduce-equivalents (M1-M5), learner (E10), listing/bulk-load (S8/S11).
+
+Differential contract mirrors the reference's examples/test_parallel.py:
+98-121 — the partitioned run must equal the direct run exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dropbox_duckdb_playground_spark.er.learner import (
+    MatchModel,
+    load_model,
+    save_model,
+    train_matcher,
+)
+from dropbox_duckdb_playground_spark.er.scoring import select_matches
+from dropbox_duckdb_playground_spark.operators.parallel import (
+    add_partition_key,
+    map_grouped,
+    map_partitioned,
+    write_partitioned,
+)
+from dropbox_duckdb_playground_spark.plans.pipeline import assert_frames_equal
+from dropbox_duckdb_playground_spark.sources.listing import (
+    bulk_insert_command,
+    name_listing_table,
+    parse_name_listing,
+    run_bulk_insert,
+)
+
+
+def test_map_partitioned_equals_direct(spark):
+    """Partitioned pandas transform ≡ direct DataFrame op (M1/V2)."""
+
+    def double(pdf):
+        pdf = pdf.copy()
+        pdf["v"] = pdf["v"] * 2
+        return pdf
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    parallel = map_partitioned(df, double, "k long, v long", n=7)
+    direct = df.select("k", (F.col("v") * 2).alias("v"))
+    assert_frames_equal(parallel, direct)
+
+
+def test_add_partition_key_bounds_and_colocation(spark):
+    df = spark.range(0, 500).select(
+        (F.col("id") % 13).alias("g"), F.col("id").alias("v")
+    )
+    keyed = add_partition_key(df, 5, keys=["g"])
+    stats = keyed.groupBy("g").agg(
+        F.countDistinct("partition").alias("nparts"),
+        F.min("partition").alias("mn"),
+        F.max("partition").alias("mx"),
+    )
+    rows = stats.collect()
+    assert all(r["nparts"] == 1 for r in rows)  # co-located per key
+    assert all(0 <= r["mn"] and r["mx"] <= 4 for r in rows)
+
+
+def test_map_grouped_sees_whole_group(spark):
+    df = spark.range(0, 300).select(
+        (F.col("id") % 10).alias("g"), F.col("id").alias("v")
+    )
+
+    def group_sum(pdf):
+        return type(pdf)({"g": [pdf["g"].iloc[0]], "total": [int(pdf["v"].sum())]})
+
+    got = map_grouped(df, ["g"], group_sum, "g long, total long")
+    want = df.groupBy("g").agg(F.sum("v").alias("total"))
+    assert_frames_equal(got, want)
+
+
+def test_write_partitioned_layout(spark, tmp_path):
+    df = spark.range(0, 100).select(F.col("id").alias("v"))
+    path = str(tmp_path / "split")
+    write_partitioned(df, path, 4)
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert back.select("partition").distinct().count() <= 4
+
+
+def test_learner_roundtrip_and_separation(spark, tmp_path):
+    """Train on trivially separable pairs; matches must outscore
+    non-matches and the JSON artifact must round-trip."""
+    rows = []
+    for i in range(40):
+        rows.append((f"package-{i}", f"package-{i}", 1))  # exact
+        rows.append((f"package-{i}", f"package-{i} extra", 1))  # near
+        rows.append((f"package-{i}", f"totally-other-{i*7}", 0))
+    pairs = spark.createDataFrame(rows, ["a_name", "b_name", "is_match"])
+    model = train_matcher(pairs, ["name"])
+    p = str(tmp_path / "model.json")
+    save_model(model, p)
+    model2 = load_model(p)
+    assert model2.fields == ["name"] and model2.weights == model.weights
+
+    scored = model2.scorer()(pairs)
+    agg = scored.groupBy("is_match").agg(F.avg("score").alias("s")).collect()
+    by = {r["is_match"]: r["s"] for r in agg}
+    assert by[1] > 0.5 > by[0]
+    # scorer output feeds the standard E6 tail
+    kept = select_matches(
+        scored.select(
+            F.col("a_name").alias("a_id"), F.col("b_name").alias("b_id"), "score"
+        ),
+        threshold=0.5,
+    )
+    assert kept.count() >= 40
+
+
+def test_name_listing_parse_and_table(spark):
+    html = '<html><body><a href="/simple/foo/">foo</a>\n<a href="/x">bar-lib</a></body></html>'
+    assert parse_name_listing(html) == ["foo", "bar-lib"]
+    fake = lambda url, etag: (200, html, None)  # noqa: E731
+    df = name_listing_table(spark, "http://example.invalid/simple", fetcher=fake)
+    assert [r["name"] for r in df.collect()] == ["foo", "bar-lib"]
+
+
+def test_bulk_insert_command_shape():
+    cmd = bulk_insert_command(
+        "pypi", {"package": "/tmp/package.csv"}, {"requires": "/tmp/requires.csv"},
+        redis_url="redis://localhost:6379",
+    )
+    assert cmd[:2] == ["redisgraph-bulk-insert", "pypi"]
+    assert "-n" in cmd and "/tmp/package.csv" in cmd
+    assert "-r" in cmd and "/tmp/requires.csv" in cmd
+    seen = {}
+    rc = run_bulk_insert(
+        "pypi", {}, {}, runner=lambda argv: seen.setdefault("argv", argv) and 0 or 0
+    )
+    assert rc == 0 and seen["argv"][1] == "pypi"
