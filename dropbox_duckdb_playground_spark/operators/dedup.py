@@ -85,7 +85,11 @@ def lsh_candidate_pairs(
     distinct (a_id, b_id) candidate pairs.
 
     Scale: the self-join runs per bucket; bucket sizes are the skew risk —
-    at production scale cap bucket size (count + filter) before pairing."""
+    at production scale cap bucket size (count + filter) before pairing.
+    The signature table (one short row per doc — tiny vs the corpus) is
+    materialized once so the minhash pipeline doesn't run for both join
+    sides."""
+    sig = sig.localCheckpoint(eager=True)
     rows_per_band = num_perm // bands
     band_cols = []
     for b in range(bands):
@@ -122,8 +126,14 @@ def ngram_jaccard_pairs(
     for pairs above ``threshold``.
 
     Scale: joins on the shingle digest (never the raw shingle string);
-    hot shingles (boilerplate) should be frequency-capped upstream."""
-    hashed = shingle_df.select(F.col(key), _hex60(F.col("shingle")).alias("sh"))
+    hot shingles (boilerplate) should be frequency-capped upstream. The
+    hashed shingle table feeds THREE plan branches (both self-join sides
+    + the per-doc sizes), so it is materialized once (localCheckpoint)
+    instead of re-running tokenize+explode+md5 three times — on a
+    cluster this is the standard persist-before-self-join."""
+    hashed = shingle_df.select(
+        F.col(key), _hex60(F.col("shingle")).alias("sh")
+    ).localCheckpoint(eager=True)
     sizes = hashed.groupBy(key).agg(F.count("*").alias("sz"))
     l, r = hashed.alias("l"), hashed.alias("r")
     common = (
@@ -182,7 +192,10 @@ def hamming_neardup_pairs(
     """SimHash near-dup pairs within a Hamming radius, via the standard
     block-permutation trick: split the signature into ``blocks`` chunks;
     any pair within radius ``max_hamming < blocks`` must agree on ≥1 chunk
-    → equi-join per chunk, then exact Hamming filter via bit_count(xor)."""
+    → equi-join per chunk, then exact Hamming filter via bit_count(xor).
+    The signature table (one row per doc) is materialized once so the
+    simhash bit-sum pipeline doesn't run for both join sides."""
+    sig = sig.localCheckpoint(eager=True)
     chunk = bits // blocks
     mask = (1 << chunk) - 1
     chunk_cols = [

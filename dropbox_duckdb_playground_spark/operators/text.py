@@ -107,15 +107,22 @@ def lang_id_predict(
     profile-overlap count. Deterministic tie-breaks: token then language
     code ascending.
 
-    Scale: profiles are tiny (n_langs × profile_size rows) → broadcast
-    join against the exploded token table; the only real shuffle is the
-    final per-document argmax."""
+    Scale: the explode runs ONCE and is immediately collapsed to per-doc
+    token counts (map-side partial agg shrinks it to distinct tokens per
+    doc) — that compact table is materialized and feeds both the profile
+    build and the scoring join. Profiles are tiny (n_langs ×
+    profile_size rows) → broadcast join; the only real shuffle left is
+    the per-document argmax."""
     from dropbox_duckdb_playground_spark.operators.relational import fan_out
 
-    toks = fan_out(docs).select(
-        F.col(key), F.col(label), F.explode(tokens_col(text)).alias("token")
+    tokcnt = (
+        fan_out(docs)
+        .select(F.col(key), F.col(label), F.explode(tokens_col(text)).alias("token"))
+        .groupBy(key, label, "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
-    freq = toks.groupBy(label, "token").agg(F.count("*").alias("cnt"))
+    freq = tokcnt.groupBy(label, "token").agg(F.sum("tf").alias("cnt"))
     w = Window.partitionBy(label).orderBy(F.desc("cnt"), F.asc("token"))
     profile = (
         freq.withColumn("__rn__", F.row_number().over(w))
@@ -123,9 +130,9 @@ def lang_id_predict(
         .select(F.col(label).alias("cand_lang"), "token")
     )
     scores = (
-        toks.join(F.broadcast(profile), "token")
+        tokcnt.join(F.broadcast(profile), "token")
         .groupBy(key, "cand_lang")
-        .agg(F.count("*").alias("overlap"))
+        .agg(F.sum("tf").alias("overlap"))
     )
     w2 = Window.partitionBy(key).orderBy(F.desc("overlap"), F.asc("cand_lang"))
     return (
