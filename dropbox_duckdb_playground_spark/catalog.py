@@ -1127,6 +1127,107 @@ def q36_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# beyond-§2 — embedding-cosine near-dup pairs (LSH-bucketed, deterministic)
+
+
+def _cosine_neardup_oracle() -> str:
+    from dropbox_duckdb_playground_spark.operators.similarity import (
+        hyperplane_weights,
+    )
+
+    planes = hyperplane_weights(64, 8)
+    proj = lambda side, w: (  # noqa: E731
+        "list_aggregate(list_transform(range(1, 65), i -> "
+        f"CAST({side}[i] AS DOUBLE) * ({w})[i]), 'sum')"
+    )
+    sig_terms = []
+    for p, w in enumerate(planes):
+        warr = "[" + ", ".join(str(x) for x in w) + "]"
+        sig_terms.append(
+            f"(CASE WHEN {proj('embedding', warr)} > 0 THEN {2**p} ELSE 0 END)"
+        )
+    sig = " + ".join(sig_terms)
+    return f"""
+    WITH sigged AS (
+      SELECT vec_id, embedding, CAST({sig} AS BIGINT) AS bucket FROM embeddings)
+    SELECT l.vec_id AS a_id, r.vec_id AS b_id,
+           round(
+             list_aggregate(list_transform(range(1, 65),
+                 i -> CAST(l.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)),
+               'sum')
+             / (sqrt(list_aggregate(list_transform(range(1, 65),
+                   i -> CAST(l.embedding[i] AS DOUBLE) * CAST(l.embedding[i] AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(range(1, 65),
+                   i -> CAST(r.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)), 'sum'))),
+             4) AS cosine
+    FROM sigged l JOIN sigged r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+    WHERE round(
+             list_aggregate(list_transform(range(1, 65),
+                 i -> CAST(l.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)),
+               'sum')
+             / (sqrt(list_aggregate(list_transform(range(1, 65),
+                   i -> CAST(l.embedding[i] AS DOUBLE) * CAST(l.embedding[i] AS DOUBLE)), 'sum'))
+                * sqrt(list_aggregate(list_transform(range(1, 65),
+                   i -> CAST(r.embedding[i] AS DOUBLE) * CAST(r.embedding[i] AS DOUBLE)), 'sum'))),
+             4) >= 0.25
+    """
+
+
+@register(
+    "q38_cosine_neardup",
+    oracle=_cosine_neardup_oracle(),
+    tags="dedup-embedding-cosine similarity",
+)
+def q38_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dropbox_duckdb_playground_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(e, threshold=0.25, dim=64, planes=8)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 M1 — partitioned pandas map (the reference's MapReduce) in the gate:
+# a per-chunk Python transform must be invisible in the result.
+
+
+@register(
+    "q37_mapreduce_quality",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) * 7 AS tax_cents,
+           upper(o_orderpriority) AS pri
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags="M1 M2 M3 M4 mapInPandas",
+)
+def q37_mapreduce_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference shape: MapReduce(ObjProcessor, N) over a filtered table
+    (batch_framework/parallize.py:17-101) — here repartition(N) +
+    mapInPandas; the merge is Spark's. The transform body is genuinely
+    pandas (not expressible-only-in-SQL is NOT required — the point is
+    the partitioned-Python path matches the SQL oracle bit-for-bit)."""
+    from dropbox_duckdb_playground_spark.operators.parallel import map_partitioned
+
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+
+    def chunk(pdf):
+        out = type(pdf)()
+        out["o_orderkey"] = pdf["o_orderkey"]
+        # integer-cents arithmetic: prices carry 2 decimals, so *100
+        # rounds to an exact integer identically in every engine (no
+        # float round-half mode ambiguity)
+        out["tax_cents"] = (pdf["o_totalprice"] * 100).round().astype("int64") * 7
+        out["pri"] = pdf["o_orderpriority"].str.upper()
+        return out
+
+    return map_partitioned(
+        o, chunk, "o_orderkey bigint, tax_cents bigint, pri string", n=8
+    )
+
+
+# ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
 

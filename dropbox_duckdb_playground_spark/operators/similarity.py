@@ -136,3 +136,109 @@ def lsh_ann_topk(
         .filter(F.col("__rn__") <= k)
         .drop("__rn__")
     )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    planes: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup family): distinct
+    (a_id, b_id, cosine) with a_id < b_id and cosine ≥ threshold,
+    candidates restricted to same LSH hyperplane bucket.
+
+    Near-identical vectors agree on every hyperplane with probability
+    ~(1 - θ/π)^planes, so a high threshold keeps recall high while the
+    bucket equi-join replaces the O(n²) cross join — the same
+    bucket-join shape as MinHash-LSH text dedup (SURVEY-beyond: LLM
+    training-data dedup). Deterministic hyperplanes (md5 parity), so an
+    external oracle can replicate the exact candidate set."""
+    from dropbox_duckdb_playground_spark.operators.relational import fan_out
+
+    sig = hyperplane_signature(F.col(vec_col), dim, planes)
+    c = (
+        fan_out(embeddings)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("bucket"))
+        .localCheckpoint(eager=True)
+    )
+    l, r = c.alias("l"), c.alias("r")
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("a_id"),
+            F.col("r.id").alias("b_id"),
+            F.round(cosine(F.col("l.vec"), F.col("r.vec")), 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means coarse quantizer -> per-centroid
+    posting lists -> probe the ``nprobe`` nearest lists per query ->
+    exact cosine re-rank inside the probed lists.
+
+    The scale path when LSH recall is insufficient: centroids are
+    trained once (spark.ml KMeans, seeded), assignment is one narrow
+    pass, and each query touches ~nprobe/nlist of the corpus. Output
+    schema matches `cosine_topk` (query_id, cand_id, cosine). Not
+    SQL-oracle-able (k-means); correctness is asserted against
+    brute-force recall in tests."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from dropbox_duckdb_playground_spark.operators.relational import fan_out
+
+    vecs = fan_out(embeddings).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("features", array_to_vector(F.col("c_vec").cast("array<double>")))
+    km = KMeans(k=nlist, seed=seed, maxIter=10).fit(vecs.select("features"))
+    assigned = km.transform(vecs).select(
+        "cand_id", "c_vec", F.col("prediction").alias("list_id")
+    ).localCheckpoint(eager=True)
+
+    centroids = [[float(x) for x in c] for c in km.clusterCenters()]
+    spark = embeddings.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "list_id int, centroid array<double>"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    # nearest nprobe centroids per query (centroid table is tiny: nlist rows)
+    probed = (
+        q.join(F.broadcast(cent_df))
+        .withColumn("cdist", cosine(F.col("q_vec"), F.col("centroid")))
+        .withColumn(
+            "__rn__",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("cdist"), F.asc("list_id"))
+            ),
+        )
+        .filter(F.col("__rn__") <= nprobe)
+        .select("query_id", "q_vec", "list_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probed), "list_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4))
+        .select("query_id", "cand_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        scored.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") <= k)
+        .drop("__rn__")
+    )

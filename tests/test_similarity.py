@@ -47,3 +47,47 @@ def test_lsh_ann_finds_identical_vector(spark):
     out = lsh_ann_topk(df, df.filter(F.col("vec_id") == 100), dim=8, k=3)
     got = {r.cand_id: r.cosine for r in out.collect()}
     assert 0 in got and got[0] == 1.0
+
+
+def test_cosine_neardup_pairs_finds_duplicate(spark):
+    from dropbox_duckdb_playground_spark.operators.similarity import (
+        cosine_neardup_pairs,
+    )
+
+    base = [float((i * 37) % 11 - 5) for i in range(8)]
+    near = list(base)
+    near[0] += 0.01
+    far = [float(((i + 3) * 53) % 13 - 6) for i in range(8)]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "vec_id int, embedding array<float>"
+    )
+    got = cosine_neardup_pairs(df, threshold=0.99, dim=8, planes=4).collect()
+    assert [(r["a_id"], r["b_id"]) for r in got] == [(1, 2)]
+
+
+def test_ivf_ann_recall_vs_brute_force(spark):
+    from dropbox_duckdb_playground_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+    )
+
+    # two well-separated clusters of vectors
+    rows = []
+    for i in range(40):
+        c = i % 2
+        vec = [
+            float(10 * (1 - c) + ((i * 7 + d * 3) % 5) * 0.1)
+            if d < 4
+            else float(10 * c + ((i * 11 + d) % 5) * 0.1)
+            for d in range(8)
+        ]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 4)
+    exact = cosine_topk(df, q, k=3, id_col="vec_id")
+    approx = ivf_ann_topk(df, q, k=3, nlist=2, nprobe=1, id_col="vec_id", seed=7)
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    # probing the single nearest of 2 clean clusters must recover most
+    # exact neighbors
+    assert len(a & e) / len(e) >= 0.8
