@@ -1,0 +1,107 @@
+"""Physical-plan quality gates — the 100 TB assertions.
+
+Correctness tests prove the small-SF answer; these prove the PLAN would
+survive scale-up: filters reach the parquet scan (PushedFilters),
+projections prune the read schema (ReadSchema), small dimensions
+broadcast instead of shuffling, and per-key dedup windows carry a
+group-limit pushdown. A regression here is invisible at sf0.01 and
+fatal at 100 TB, which is why it gates like a correctness bug.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dropbox_duckdb_playground_spark.catalog import load
+from dropbox_duckdb_playground_spark.operators.relational import (
+    distinct_on,
+    multi_left_join,
+)
+
+
+def plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    p = plan(q)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in p
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    q = li.select("l_orderkey", "l_quantity")
+    p = plan(q)
+    # a 2-column projection must not read the 16-column schema
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_comment" not in read and "l_extendedprice" not in read
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    cust = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    q = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        "c_name", "n_name"
+    )
+    p = plan(q)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_multi_left_join_no_cartesian(spark, sf_dir):
+    pop = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node_id")
+    )
+    a = load(spark, sf_dir, "orders").groupBy(
+        F.col("o_custkey").alias("node_id")
+    ).agg(F.count("*").alias("n_orders"))
+    b = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("node_id"), "c_acctbal"
+    )
+    q = multi_left_join(pop, [a, b], on=["node_id"])
+    p = plan(q)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_distinct_on_window_group_limit(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    q = distinct_on(o, keys=["o_custkey"], order_by=[F.desc("o_totalprice")])
+    p = plan(q)
+    # rank-1 windows must prune per-partition before the shuffle
+    assert "WindowGroupLimit" in p
+
+
+def test_agg_has_map_side_partial(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    q = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    p = plan(q)
+    # partial_sum before the exchange = map-side combine; the shuffle
+    # carries one row per (task, key), not one per input row
+    assert "partial_sum" in p
+
+
+def test_events_scan_prunes_partitions_of_projection(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    q = ev.filter(F.col("user_id") == 7).select("event_id", "user_id")
+    p = plan(q)
+    assert "PushedFilters" in p and "EqualTo(user_id,7)" in p
+
+
+@pytest.mark.parametrize("qname", ["q01_pricing_summary", "q05_cust_order_stats"])
+def test_catalog_queries_read_pruned(spark, sf_dir, qname):
+    from dropbox_duckdb_playground_spark.catalog import queries
+
+    q = queries()[qname](spark, sf_dir)
+    p = plan(q)
+    reads = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert reads, "expected parquet scans in the plan"
+    # no scan reads the full lineitem/customer comment columns
+    assert all("comment" not in ln for ln in reads)
