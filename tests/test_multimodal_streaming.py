@@ -96,3 +96,65 @@ def test_incremental_file_stream_available_now(spark, tmp_path):
     q2 = incremental_file_stream(spark, src, schema, collect_batch, ckpt)
     q2.awaitTermination(60)
     assert sum(seen) == 2  # only the two new rows
+
+
+def test_first_seen_dedup_stateful(spark, tmp_path):
+    """Duplicate keys across micro-batches emit exactly once (state
+    persists across batches; maxFilesPerTrigger forces multiple)."""
+    import pandas as pd
+
+    from dropbox_duckdb_playground_spark.streaming.stateful import (
+        first_seen_dedup,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, v string"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(
+        [(1, "dup"), (3, "c")], "k long, v string"
+    ).coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    out = first_seen_dedup(stream, "k", "k long, v string")
+    got: list = []
+    q = (
+        out.writeStream.foreachBatch(
+            lambda df, _eid: got.extend(df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    keys = sorted(r["k"] for r in got)
+    assert keys == [1, 2, 3]  # the duplicate k=1 emitted only once
+
+
+def test_running_totals_stateful(spark, tmp_path):
+    from dropbox_duckdb_playground_spark.streaming.stateful import running_totals
+
+    src = tmp_path / "in2"
+    src.mkdir()
+    spark.createDataFrame(
+        [(1, 10.0), (1, 5.0), (2, 1.0)], "k long, value double"
+    ).coalesce(1).write.parquet(str(src / "f1"))
+
+    stream = spark.readStream.schema("k long, value double").parquet(str(src / "*"))
+    out = running_totals(stream, "k")
+    got: list = []
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(lambda df, _e: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    by = {r["k"]: (r["n"], r["total"]) for r in got}
+    assert by[1] == (2, 15.0) and by[2] == (1, 1.0)
