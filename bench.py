@@ -35,6 +35,8 @@ def main() -> None:
         except Exception:
             pass
 
+    from dropbox_duckdb_playground_spark.session import clear_persisted
+
     timings: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.time()
@@ -47,6 +49,9 @@ def main() -> None:
         except Exception as exc:  # record failures as -1, keep benching
             sys.stderr.write(f"bench: {name} failed: {exc}\n")
             timings[name] = -1.0
+        # release this query's localCheckpoint blocks so later queries
+        # don't pay its block-manager/GC footprint
+        clear_persisted(spark)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

@@ -74,3 +74,18 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def clear_persisted(spark: SparkSession) -> int:
+    """Unpersist every cached/localCheckpointed RDD in the context.
+
+    Operators materialize intermediates with localCheckpoint (self-join
+    inputs, iteration state); across a long session those blocks
+    accumulate and pressure the block manager / GC. Harness code (bench,
+    batch runners) calls this between independent queries. Returns the
+    number of RDDs released."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    rdds = list(jmap.values())
+    for jrdd in rdds:
+        jrdd.unpersist(False)
+    return len(rdds)
