@@ -99,10 +99,29 @@ class Engine:
         path: str | None = None,
         mode: str = "overwrite",
         partition_by: list[str] | None = None,
+        bucket_by: list[str] | None = None,
+        n_buckets: int = 8,
     ) -> str:
-        """Materialize an object id as a Parquet directory."""
+        """Materialize an object id as a Parquet directory.
+
+        ``bucket_by`` writes a bucketed (and in-bucket sorted) table via
+        the session catalog: two tables bucketed on their join key with
+        the same bucket count join with NO shuffle on either side — the
+        co-located-join layout for repeatedly-joined 100 TB facts."""
         out = self._path(obj_id, path)
         writer = self.table(obj_id).write.mode(mode)
+        if bucket_by:
+            writer = (
+                writer.bucketBy(n_buckets, *bucket_by)
+                .sortBy(*bucket_by)
+                .option("path", out)
+            )
+            self.spark.sql(f"DROP TABLE IF EXISTS {obj_id}")
+            writer.format("parquet").saveAsTable(obj_id)
+            # the catalog table carries the bucketing metadata — register
+            # it (a raw path scan would lose bucket info)
+            self._tables[obj_id] = self.spark.table(obj_id)
+            return out
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(out)

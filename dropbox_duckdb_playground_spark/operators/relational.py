@@ -139,6 +139,34 @@ def multi_left_join(
     return out
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt: int = 16,
+) -> DataFrame:
+    """Equi-join with explicit key salting for heavy skew on ``left``.
+
+    The hot key's rows are spread over ``salt`` sub-keys (deterministic:
+    hash of the full left row), and ``right`` is replicated ``salt``×
+    so every sub-key still finds its match — trading a bounded blow-up
+    of the small side for even task sizes on the big side.
+
+    AQE's skew-join handles most cases at runtime (enabled in
+    session.py); reach for this when AQE can't re-plan — skewed
+    aggregation feeding a join, stream-static joins, or a key so hot one
+    split still exceeds a task."""
+    lk = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)),
+    )
+    rk = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    return lk.join(rk, on=[*on, "__salt"], how=how).drop("__salt")
+
+
 def union_all(dfs: list[DataFrame]) -> DataFrame:
     """U2/U3: UNION ALL by name (reference: resolution/main.py:231-244,
     parallize.py:265-270 — also the Python-side pd/vx/pa concat merge)."""
