@@ -36,6 +36,13 @@ from dropbox_duckdb_playground_spark.operators.similarity import cosine_topk
 SPARK_ID = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
 DUCK_ID = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
+# DuckDB mirror of dedup.minhash_signatures' integer permutations — built
+# from the SAME constants so the two engines agree bit-for-bit.
+MINHASH_MINS = ", ".join(
+    f"min(({a}*h_hi + {b}*h_lo + {c}) % {D.MINHASH_PRIME}) AS mh{i}"
+    for i, (a, b, c) in enumerate(D.minhash_perm_constants(8))
+)
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
@@ -704,7 +711,7 @@ def q24_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q25_minhash_pairs",
-    oracle="""
+    oracle=f"""
     WITH toks AS (
       SELECT doc_id, trim(text) AS t FROM documents),
     pos AS (
@@ -718,13 +725,14 @@ def q24_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS shingle
         FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
       WHERE shingle IS NOT NULL),
-    sig AS (
+    hashed AS (
       SELECT doc_id,
-             min(md5('0:' || shingle)) AS mh0, min(md5('1:' || shingle)) AS mh1,
-             min(md5('2:' || shingle)) AS mh2, min(md5('3:' || shingle)) AS mh3,
-             min(md5('4:' || shingle)) AS mh4, min(md5('5:' || shingle)) AS mh5,
-             min(md5('6:' || shingle)) AS mh6, min(md5('7:' || shingle)) AS mh7
-      FROM sh GROUP BY doc_id),
+             (('0x' || substr(md5(shingle), 1, 15))::BIGINT >> 30) AS h_hi,
+             (('0x' || substr(md5(shingle), 1, 15))::BIGINT & 1073741823) AS h_lo
+      FROM sh),
+    sig AS (
+      SELECT doc_id, {MINHASH_MINS}
+      FROM hashed GROUP BY doc_id),
     buckets AS (
       SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key FROM sig
       UNION ALL

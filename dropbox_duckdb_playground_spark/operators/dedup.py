@@ -29,6 +29,26 @@ def _hex60(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+# MinHash permutations are universal hashes over the 60-bit shingle digest:
+# perm_i(h) = (a_i*(h>>30) + b_i*(h&2^30-1) + c_i) mod P. Products stay
+# under 2^60 so the arithmetic is exact int64 in both Spark and DuckDB —
+# one md5 per shingle instead of num_perm of them.
+MINHASH_PRIME = 2147483647
+_MASK30 = (1 << 30) - 1
+
+
+def minhash_perm_constants(num_perm: int) -> list[tuple[int, int, int]]:
+    """Deterministic (a, b, c) constants per permutation; a, b < 2^30 and
+    odd so each is a proper universal-hash multiplier."""
+    consts = []
+    for i in range(num_perm):
+        a = ((i * 2654435761 + 1013904223) % (1 << 30)) | 1
+        b = ((i * 805459861 + 105943) % (1 << 30)) | 1
+        c = (i * 1140071481932319848 + 7) % MINHASH_PRIME
+        consts.append((a, b, c))
+    return consts
+
+
 def exact_dedup_groups(
     df: DataFrame, text: str = "text", key: str = "doc_id"
 ) -> DataFrame:
@@ -65,16 +85,25 @@ def shingles(
 def minhash_signatures(
     shingle_df: DataFrame, key: str = "doc_id", num_perm: int = 8
 ) -> DataFrame:
-    """MinHash signature per document: (key, mh0..mh{p-1}).
+    """MinHash signature per document: (key, mh0..mh{p-1}) bigints.
 
-    Permutation i = md5(i || ':' || shingle); the min digest per doc
-    approximates the Jaccard-preserving permutation minimum. One groupBy
-    on key; signatures are p small strings."""
+    One 60-bit md5 digest per shingle, then ``num_perm`` integer
+    universal-hash permutations of it (see ``minhash_perm_constants``);
+    min per doc approximates the Jaccard-preserving permutation minimum.
+    Map-side partial min keeps the shuffle at num_perm longs per doc."""
+    hashed = shingle_df.select(
+        F.col(key),
+        F.shiftright(_hex60(F.col("shingle")), 30).alias("h_hi"),
+        _hex60(F.col("shingle")).bitwiseAND(F.lit(_MASK30)).alias("h_lo"),
+    )
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(num_perm)
+        F.min(
+            (F.lit(a) * F.col("h_hi") + F.lit(b) * F.col("h_lo") + F.lit(c))
+            % F.lit(MINHASH_PRIME)
+        ).alias(f"mh{i}")
+        for i, (a, b, c) in enumerate(minhash_perm_constants(num_perm))
     ]
-    return shingle_df.groupBy(key).agg(*aggs)
+    return hashed.groupBy(key).agg(*aggs)
 
 
 def lsh_candidate_pairs(
