@@ -191,23 +191,23 @@ def simhash(df: DataFrame, text: str = "text", key: str = "doc_id", bits: int = 
 
     Each token contributes ±1 to each bit position of its 60-bit digest;
     the signature sets bit b iff the sum at b is positive. Implemented as
-    ``bits`` conditional sums over the token array — fully map-side, no
-    explode, no shuffle, whole-stage-codegen'd."""
-    # materialize the per-token digest array once, then run the 60
-    # conditional sums over it (avoids 60× re-hashing of every token)
-    hashed = fan_out(df).select(
-        F.col(key), F.transform(tokens_col(text), lambda t: _hex60(t)).alias("hv")
+    explode → ``bits`` conditional sums grouped by doc: every expression
+    stays inside whole-stage codegen (array higher-order functions are
+    CodegenFallback — interpreted per row — so the explode formulation is
+    several times faster), and map-side partial aggregation collapses the
+    exploded rows back to ``bits`` longs per doc before the shuffle."""
+    hashed = (
+        fan_out(df)
+        .select(F.col(key), F.explode(tokens_col(text)).alias("t"))
+        .select(F.col(key), _hex60(F.col("t")).alias("h"))
     )
     bit_sums = [
-        F.aggregate(
-            F.col("hv"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"s{b}")
         for b in range(bits)
     ]
-    with_sums = hashed.select(F.col(key), *bit_sums)
+    with_sums = hashed.groupBy(key).agg(*bit_sums)
     sig = None
     for b in range(bits):
         term = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long") * (2**b)).otherwise(0)
