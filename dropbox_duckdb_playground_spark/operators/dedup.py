@@ -67,16 +67,14 @@ def shingles(
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (key, shingle).
 
-    Built array-side (transform over token positions) so shingling is a
-    narrow op; only the explode produces rows."""
-    toks = tokens_col(text)
-    # sequence(0, stop) descends when stop < 0 — guard short docs explicitly
-    positions = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
-    ).otherwise(F.array().cast("array<int>"))
-    ngrams = F.transform(
-        positions, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
-    )
+    One codegen'd regex pass over whitespace-normalized text: an
+    overlapping-window lookahead anchored at token starts
+    (``(?<![^ ])(?=(\\S+ ... \\S+))``) yields exactly the n-gram windows a
+    token-array slice would, without interpreted array higher-order
+    functions. Narrow op; only the explode produces rows."""
+    norm = F.regexp_replace(F.trim(F.col(text)), r"\s+", " ")
+    pat = r"(?<![^ ])(?=(" + " ".join([r"\S+"] * n) + r"))"
+    ngrams = F.regexp_extract_all(norm, F.lit(pat), 1)
     return fan_out(df).select(
         F.col(key), F.explode(F.array_distinct(ngrams)).alias("shingle")
     )
