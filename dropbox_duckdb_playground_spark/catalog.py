@@ -1035,10 +1035,18 @@ def q34_er_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sh = D.shingles(d, n=3)
     pairs = D.ngram_jaccard_pairs(sh, threshold=0.2)
-    edges = pairs.select(
-        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
-    ).union(d.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst")))
-    return connected_components(edges)
+    # CC runs on the (small) matched-pair edge set only; unmatched docs
+    # become singletons via the left join — identical labels, and the
+    # near-corpus-sized self-edge set never enters the iterative solver.
+    labels = connected_components(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    return d.select("doc_id").join(
+        labels, d["doc_id"] == labels["node_id"], "left"
+    ).select(
+        F.col("doc_id").alias("node_id"),
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
 
 
 # SimHash near-dup pairs within Hamming radius 3 (block-permutation join)
