@@ -1244,6 +1244,62 @@ def q37_mapreduce_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline ops (beyond-reference): BPE-ish token counting,
+# PII/URL scrubbing, deterministic stratified sampling.
+
+
+@register(
+    "q39_bpe_tokens",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '{TX.BPE_ISH_PATTERN.replace("'", "''")}')) AS bpe_tokens,
+           len(regexp_extract_all(trim(text), '\\S+')) AS ws_tokens
+    FROM documents
+    """,
+    tags="text-tokens bpe",
+)
+def q39_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.bpe_token_count("text").alias("bpe_tokens"),
+        TX.token_count("text").alias("ws_tokens"),
+    )
+
+
+@register(
+    "q40_scrub_pii",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '{TX.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+             '{TX.URL_PATTERN}', '<URL>', 'g') AS clean_text
+    FROM documents
+    """,
+    tags="text-scrub pii",
+)
+def q40_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.scrub_text(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q41_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {DUCK_ID.format(x="lang || ':' || doc_id")} % 100 < 20
+    """,
+    tags="sample stratified",
+)
+def q41_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return TX.stratified_sample(d, strata="lang", key="doc_id", pct=20).select(
+        "doc_id", "lang"
+    )
+
+
+# ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
 

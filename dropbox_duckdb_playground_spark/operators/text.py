@@ -93,6 +93,56 @@ def fingerprint(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataF
     return df.select(F.col(key), F.md5(norm).alias("fp"))
 
 
+# GPT-2-style coarse tokenizer pattern: contraction suffixes, space-prefixed
+# letter runs, digit runs, punctuation runs. Deliberately lookaround-free so
+# Java regex (Spark) and RE2 (DuckDB/oracle) count identically.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^ ]+"
+
+
+def bpe_token_count(text: str | Column = "text") -> Column:
+    """Approximate LLM token count: matches of a BPE-ish regex (GPT-2
+    pre-tokenizer shape). One codegen'd regex pass; complements the
+    whitespace `token_count` with a count closer to what a subword
+    tokenizer would produce."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+
+
+def scrub_text(
+    df: DataFrame, text: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """PII/URL scrub for training corpora: emails → <EMAIL>, URLs → <URL>.
+    Narrow per-row regexp_replace chain — embarrassingly parallel, and the
+    patterns are RE2-compatible so the scrub is reproducible in any engine."""
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col(text), EMAIL_PATTERN, "<EMAIL>"),
+        URL_PATTERN,
+        "<URL>",
+    )
+    return df.select(F.col(key), clean.alias("clean_text"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: str,
+    key: str,
+    pct: int,
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep a row iff the 60-bit md5 of
+    ``strata:key`` lands under ``pct`` percent. Unlike `df.sample`, the
+    decision is a pure function of the row — reproducible across engines,
+    runs, and partitionings (the property training-data pipelines need to
+    re-derive a sample without storing membership). Narrow op, no shuffle."""
+    from dropbox_duckdb_playground_spark.operators.dedup import _hex60
+
+    bucket = F.pmod(
+        _hex60(F.concat_ws(":", F.col(strata), F.col(key))), F.lit(100)
+    )
+    return df.filter(bucket < pct)
+
+
 def lang_id_predict(
     docs: DataFrame,
     text: str = "text",

@@ -109,3 +109,36 @@ def test_fingerprint_normalizes(spark):
     df = _docs(spark, [(1, " A  b "), (2, "a b")])
     fps = {r.doc_id: r.fp for r in TX.fingerprint(df).collect()}
     assert fps[1] == fps[2]
+
+
+def test_bpe_token_count_known_string(spark):
+    df = _docs(
+        spark,
+        [(1, "He said: don't count 123 tokens, visit https://x.io/a?b=1 or mail a.b@c.de!")],
+    )
+    out = df.select(TX.bpe_token_count("text").alias("n")).collect()
+    assert out[0].n == 31
+    # BPE-ish count exceeds whitespace count on punctuated text
+    ws = df.select(TX.token_count("text").alias("n")).collect()[0].n
+    assert out[0].n > ws
+
+
+def test_scrub_text_replaces_pii(spark):
+    df = _docs(spark, [(1, "mail a.b@c.de or https://x.io/a?b=1 end")])
+    out = TX.scrub_text(df).collect()[0].clean_text
+    assert out == "mail <EMAIL> or <URL> end"
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    rows = [(i, "t", "en" if i % 2 else "fr") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    s1 = {r.doc_id for r in TX.stratified_sample(df, "lang", "doc_id", 20).collect()}
+    s2 = {r.doc_id for r in TX.stratified_sample(df, "lang", "doc_id", 20).collect()}
+    assert s1 == s2  # pure function of the row, not of partitioning
+    # roughly 20% per stratum (md5 is uniform; allow wide tolerance)
+    en = sum(1 for i in s1 if i % 2)
+    fr = sum(1 for i in s1 if not i % 2)
+    assert 50 < en < 150 and 50 < fr < 150
+    # growing pct only adds rows (nested samples)
+    s3 = {r.doc_id for r in TX.stratified_sample(df, "lang", "doc_id", 40).collect()}
+    assert s1 <= s3
