@@ -1299,6 +1299,37 @@ def q41_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q42_winnow_fp",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1)
+                 AS pos
+      FROM documents),
+    grams AS (
+      SELECT doc_id, pos,
+             CASE WHEN lead(tok, 2) OVER w IS NOT NULL THEN
+               (('0x' || substr(md5(tok || ' ' || lead(tok, 1) OVER w
+                                    || ' ' || lead(tok, 2) OVER w),
+                               1, 15))::BIGINT)
+             END AS h
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    g2 AS (SELECT doc_id, pos, h FROM grams WHERE h IS NOT NULL),
+    wins AS (
+      SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             lead(h, 3) OVER (PARTITION BY doc_id ORDER BY pos) AS _full
+      FROM g2)
+    SELECT DISTINCT doc_id, fp FROM wins WHERE _full IS NOT NULL
+    """,
+    tags="text-fingerprint winnowing rolling-hash",
+)
+def q42_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.winnow_fingerprints(load(spark, sf_dir, "documents"), n=3, w=4)
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 

@@ -110,6 +110,49 @@ def decode_features(
     )
 
 
+def fake_image_resize(content: bytes, width: int, height: int) -> dict:
+    """Deterministic stand-in for a real resize (PIL not in this
+    container): returns a stable digest-derived payload tagged with the
+    target dims. Replace via the ``resize_fn`` parameter of
+    `resize_images`."""
+    if content is None:
+        raise NotImplementedError("real image resize requires PIL")
+    digest = hashlib.md5(content + f"{width}x{height}".encode()).digest()
+    return {"content": digest, "width": width, "height": height}
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    resize_fn: Callable[[bytes, int, int], dict] = fake_image_resize,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Arrow-batched resize stage: (media_id, content binary, width, height).
+
+    Same scale shape as `decode_features`: map-side only, Arrow batch
+    transfer, pluggable codec. The default fake keeps the plumbing
+    (schema, batching, binary round-trip) real and testable."""
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"media_id": [], "content": [], "width": [], "height": []}
+            for _, row in pdf.iterrows():
+                d = resize_fn(row[content_col], width, height)
+                rows["media_id"].append(row[id_col])
+                rows["content"].append(d["content"])
+                rows["width"].append(d["width"])
+                rows["height"].append(d["height"])
+            yield pd.DataFrame(rows)
+
+    return media.select(id_col, content_col).mapInPandas(
+        run, schema="media_id bigint, content binary, width int, height int"
+    )
+
+
 def frame_sample_plan(
     media: DataFrame,
     every_ms: int = 1000,

@@ -93,6 +93,48 @@ def fingerprint(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataF
     return df.select(F.col(key), F.md5(norm).alias("fp"))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., MOSS): hash every
+    token ``n``-gram with a rolling window of ``lead``s, then keep the min
+    hash of each window of ``w`` consecutive grams; the distinct mins are
+    the fingerprint set — robust to local edits, position-independent.
+
+    Returns distinct (key, fp bigint). Everything is JVM window execs over
+    one partition-by-doc shuffle; at 100 TB docs are the natural partition
+    unit so the shuffle is one pass and windows never cross executors."""
+    from pyspark.sql import Window
+
+    from dropbox_duckdb_playground_spark.operators.dedup import _hex60
+
+    toks = df.select(
+        F.col(key), F.posexplode(tokens_col(text)).alias("pos", "tok")
+    )
+    ww = Window.partitionBy(key).orderBy("pos")
+    gram = F.concat_ws(
+        " ", *([F.col("tok")] + [F.lead("tok", i).over(ww) for i in range(1, n)])
+    )
+    complete = F.lead("tok", n - 1).over(ww).isNotNull()
+    hashed = toks.select(
+        F.col(key), F.col("pos"), F.when(complete, _hex60(gram)).alias("h")
+    ).filter(F.col("h").isNotNull())
+    wmin = Window.partitionBy(key).orderBy("pos").rowsBetween(0, w - 1)
+    full = F.lead("h", w - 1).over(Window.partitionBy(key).orderBy("pos"))
+    return (
+        hashed.select(
+            F.col(key), F.min("h").over(wmin).alias("fp"), full.alias("_full")
+        )
+        .filter(F.col("_full").isNotNull())
+        .select(key, "fp")
+        .distinct()
+    )
+
+
 # GPT-2-style coarse tokenizer pattern: contraction suffixes, space-prefixed
 # letter runs, digit runs, punctuation runs. Deliberately lookaround-free so
 # Java regex (Spark) and RE2 (DuckDB/oracle) count identically.

@@ -142,3 +142,25 @@ def test_stratified_sample_deterministic_and_proportional(spark):
     # growing pct only adds rows (nested samples)
     s3 = {r.doc_id for r in TX.stratified_sample(df, "lang", "doc_id", 40).collect()}
     assert s1 <= s3
+
+
+def test_winnow_fingerprints_shared_for_common_run(spark):
+    # docs share a long common token run -> share fingerprints; a
+    # disjoint doc shares none
+    common = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = _docs(
+        spark,
+        [
+            (1, common + " one two"),
+            (2, "pre fix " + common),
+            (3, "totally different words with no overlap at all here"),
+        ],
+    )
+    out = TX.winnow_fingerprints(df, n=3, w=4).collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2], "overlapping docs must share fingerprints"
+    assert not (fps[1] & fps[3])
+    # fingerprint count is a small fraction of gram count (winnowed)
+    assert len(fps[1]) < 10

@@ -158,3 +158,18 @@ def test_running_totals_stateful(spark, tmp_path):
     q.awaitTermination(120)
     by = {r["k"]: (r["n"], r["total"]) for r in got}
     assert by[1] == (2, 15.0) and by[2] == (1, 1.0)
+
+
+def test_resize_images_plumbing(spark):
+    from dropbox_duckdb_playground_spark.operators import multimodal as MM
+
+    rows = [(i, bytes([i]) * 32) for i in range(6)]
+    df = spark.createDataFrame(rows, "media_id bigint, content binary")
+    out = MM.resize_images(df, 128, 96).collect()
+    assert len(out) == 6
+    assert all(r.width == 128 and r.height == 96 for r in out)
+    # deterministic fake: same input -> same bytes, distinct inputs differ
+    again = {r.media_id: bytes(r.content) for r in MM.resize_images(df, 128, 96).collect()}
+    first = {r.media_id: bytes(r.content) for r in out}
+    assert first == again
+    assert len(set(first.values())) == 6
