@@ -1,0 +1,106 @@
+"""Pluggable materialization of DataFrame intermediates.
+
+Iterative operators (connected components, LSH pair mining, shingle
+inverted indexes, winnowing) must cut lineage and pin an intermediate:
+re-executing the upstream plan once per downstream branch would be
+quadratic, and iterative lineage grows without bound. Round 1 used bare
+``localCheckpoint``, which stores NON-replicated blocks on executors —
+fine on ``local[*]`` where the "cluster" is one JVM, but on a real
+cluster the loss of a single executor makes the truncated lineage
+unrecoverable and fails the job (the reference never hits this because
+DuckDB is single-process; we must, because 100 TB means many executors).
+
+Strategies:
+
+- ``local``    — ``df.localCheckpoint(eager=True)``. Fastest (in-memory
+                 executor blocks, no replication). Right for ``local[*]``
+                 and for clusters that accept retry-the-job semantics.
+- ``reliable`` — ``df.checkpoint(eager=True)`` into the fault-tolerant
+                 checkpoint directory (HDFS / S3A / GCS). Survives
+                 executor loss; the 100 TB default.
+- ``parquet``  — write + read back a parquet staging directory. Survives
+                 executor AND driver loss, is externally inspectable, and
+                 columnar compression often makes the re-read cheaper
+                 than deserialized block form for wide intermediates.
+- ``none``     — pass-through (debugging, tiny plans).
+
+Selection: :func:`set_materialization`, or env var
+``SPARK_GRAFT_MATERIALIZE``. The default ``auto`` resolves per-DataFrame:
+``local`` when the session master starts with ``local``, else
+``reliable`` — i.e. a cluster deployment gets fault tolerance without
+any call-site change.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame
+
+_VALID = ("auto", "local", "reliable", "parquet", "none")
+
+_mode: str | None = None  # None -> read env each call (test-friendly)
+_directory: str | None = None
+
+
+def set_materialization(mode: str, directory: str | None = None) -> None:
+    """Set the process-wide materialization strategy.
+
+    ``directory`` seeds the Spark checkpoint dir (``reliable``) or the
+    staging root (``parquet``). Pass ``mode="auto"`` to restore the
+    default master-based selection."""
+    if mode not in _VALID:
+        raise ValueError(f"materialization mode {mode!r} not in {_VALID}")
+    global _mode, _directory
+    _mode = mode
+    if directory is not None:
+        _directory = directory
+
+
+def get_materialization() -> str:
+    """Current strategy name (may be ``auto``)."""
+    return _mode or os.environ.get("SPARK_GRAFT_MATERIALIZE", "auto")
+
+
+def _resolve(df: DataFrame) -> str:
+    mode = get_materialization()
+    if mode == "auto":
+        master = df.sparkSession.conf.get("spark.master", "local")
+        return "local" if master.startswith("local") else "reliable"
+    return mode
+
+
+def _checkpoint_dir(df: DataFrame) -> str:
+    sc = df.sparkSession.sparkContext
+    current = sc._jsc.sc().getCheckpointDir()
+    if current.isDefined():
+        return current.get()
+    base = _directory or os.path.join(
+        os.environ.get("SPARK_LOCAL_DIRS", "/tmp"), "spark_graft_ckpt"
+    )
+    sc.setCheckpointDir(base)
+    return base
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Eagerly compute ``df``, cut its lineage, and return a DataFrame
+    whose re-scan is cheap — via the process-wide strategy (see module
+    docstring). All operators in this package pin intermediates through
+    this single chokepoint so deployments can trade speed vs fault
+    tolerance in one place."""
+    mode = _resolve(df)
+    if mode == "none":
+        return df
+    if mode == "local":
+        return df.localCheckpoint(eager=True)
+    if mode == "reliable":
+        _checkpoint_dir(df)
+        return df.checkpoint(eager=True)
+    # parquet staging
+    base = _directory or os.path.join(
+        os.environ.get("SPARK_LOCAL_DIRS", "/tmp"), "spark_graft_stage"
+    )
+    path = os.path.join(base, f"stage-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)

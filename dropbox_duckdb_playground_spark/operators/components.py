@@ -21,7 +21,8 @@ MapReduce"; Kiveris et al. SoCC'14):
 
 Scale notes: executor-side union-find is an Arrow-batched Pandas UDF
 (never a driver collect); every relabel join is hash-partitioned on the
-node id; each level cuts lineage with localCheckpoint. On typical graphs
+node id; each level cuts lineage via the pluggable ``materialize`` policy
+(localCheckpoint on local[*], reliable checkpoint on clusters). On typical graphs
 one contraction level + one single-task solve replaces ~log(n) join
 rounds — at local[32] that's a 3-4× wall-clock win, on a cluster it
 saves the same number of full-edge-set shuffles.
@@ -35,6 +36,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from dropbox_duckdb_playground_spark.materialize import materialize
 from dropbox_duckdb_playground_spark.operators.relational import fan_out
 
 if TYPE_CHECKING:  # pragma: no cover
@@ -127,7 +129,7 @@ def _star_rounds(e: DataFrame, n_edges: int, max_iter: int) -> DataFrame:
     for _ in range(max_iter):
         if converged:
             break
-        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        new_e = materialize(_small_star(_large_star(e)))
         new_count = new_e.count()
         if new_count == n_edges:
             converged = new_e.join(e, ["u", "v"], "left_anti").isEmpty()
@@ -157,9 +159,9 @@ def connected_components(
     # checkpoint the raw edge projection ONCE — the upstream plan (often
     # an expensive pair-mining pipeline) must not re-execute for each of
     # the node-set / edge-set derivations below
-    raw = fan_out(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    ).localCheckpoint(eager=True)
+    raw = materialize(
+        fan_out(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    )
     id_type = raw.schema["a"].dataType.simpleString()
     star_schema = f"u {id_type}, v {id_type}"
     # lazy on purpose: read once at composition time, straight off the
@@ -169,11 +171,10 @@ def connected_components(
         .union(raw.select(F.col("b").alias("node")))
         .distinct()
     )
-    e = (
+    e = materialize(
         raw.filter(F.col("a") != F.col("b"))
         .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     n_edges = e.count()
 
@@ -184,18 +185,14 @@ def connected_components(
         if n_edges == 0:
             break
         if n_edges <= residual_threshold:
-            m = _solve_single_task(e, star_schema).localCheckpoint(eager=True)
+            m = materialize(_solve_single_task(e, star_schema))
             mappings.append(m)
             n_edges = 0
             break
         stars = _contract_batches(e, star_schema)
         # per-node min root; conflict rows (node in 2 batches) relabel to
         # root-root edges below, preserving cross-batch connectivity
-        m = (
-            stars.groupBy("u")
-            .agg(F.min("v").alias("v"))
-            .localCheckpoint(eager=True)
-        )
+        m = materialize(stars.groupBy("u").agg(F.min("v").alias("v")))
         mappings.append(m)
         mu = m.select(F.col("u").alias("n"), F.col("v").alias("r"))
         relabeled = (
@@ -210,11 +207,10 @@ def connected_components(
             )
             .select(F.coalesce("rv", "v0").alias("y"), "x")
         )
-        e_next = (
+        e_next = materialize(
             relabeled.filter(F.col("x") != F.col("y"))
             .select(F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
         e.unpersist()
         e = e_next

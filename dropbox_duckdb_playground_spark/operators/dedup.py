@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dropbox_duckdb_playground_spark.materialize import materialize
 from dropbox_duckdb_playground_spark.operators.relational import fan_out
 from dropbox_duckdb_playground_spark.operators.text import tokens_col
 
@@ -116,7 +117,7 @@ def lsh_candidate_pairs(
     The signature table (one short row per doc — tiny vs the corpus) is
     materialized once so the minhash pipeline doesn't run for both join
     sides."""
-    sig = sig.localCheckpoint(eager=True)
+    sig = materialize(sig)
     rows_per_band = num_perm // bands
     band_cols = []
     for b in range(bands):
@@ -155,12 +156,13 @@ def ngram_jaccard_pairs(
     Scale: joins on the shingle digest (never the raw shingle string);
     hot shingles (boilerplate) should be frequency-capped upstream. The
     hashed shingle table feeds THREE plan branches (both self-join sides
-    + the per-doc sizes), so it is materialized once (localCheckpoint)
+    + the per-doc sizes), so it is materialized once (``materialize``)
     instead of re-running tokenize+explode+md5 three times — on a
     cluster this is the standard persist-before-self-join."""
     hashed = shingle_df.select(
         F.col(key), _hex60(F.col("shingle")).alias("sh")
-    ).localCheckpoint(eager=True)
+)
+    hashed = materialize(hashed)
     sizes = hashed.groupBy(key).agg(F.count("*").alias("sz"))
     l, r = hashed.alias("l"), hashed.alias("r")
     common = (
@@ -222,7 +224,7 @@ def hamming_neardup_pairs(
     → equi-join per chunk, then exact Hamming filter via bit_count(xor).
     The signature table (one row per doc) is materialized once so the
     simhash bit-sum pipeline doesn't run for both join sides."""
-    sig = sig.localCheckpoint(eager=True)
+    sig = materialize(sig)
     chunk = bits // blocks
     mask = (1 << chunk) - 1
     chunk_cols = [

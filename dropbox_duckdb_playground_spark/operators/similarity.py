@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dropbox_duckdb_playground_spark.materialize import materialize
+
 from dropbox_duckdb_playground_spark.operators.dedup import _hex60
 
 
@@ -159,10 +161,9 @@ def cosine_neardup_pairs(
     from dropbox_duckdb_playground_spark.operators.relational import fan_out
 
     sig = hyperplane_signature(F.col(vec_col), dim, planes)
-    c = (
+    c = materialize(
         fan_out(embeddings)
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("bucket"))
-        .localCheckpoint(eager=True)
     )
     l, r = c.alias("l"), c.alias("r")
     return (
@@ -205,9 +206,11 @@ def ivf_ann_topk(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
     ).withColumn("features", array_to_vector(F.col("c_vec").cast("array<double>")))
     km = KMeans(k=nlist, seed=seed, maxIter=10).fit(vecs.select("features"))
-    assigned = km.transform(vecs).select(
-        "cand_id", "c_vec", F.col("prediction").alias("list_id")
-    ).localCheckpoint(eager=True)
+    assigned = materialize(
+        km.transform(vecs).select(
+            "cand_id", "c_vec", F.col("prediction").alias("list_id")
+        )
+    )
 
     centroids = [[float(x) for x in c] for c in km.clusterCenters()]
     spark = embeddings.sparkSession

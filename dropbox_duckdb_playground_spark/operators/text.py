@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dropbox_duckdb_playground_spark.materialize import materialize
+
 DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
 
@@ -212,8 +214,8 @@ def lang_id_predict(
         .select(F.col(key), F.col(label), F.explode(tokens_col(text)).alias("token"))
         .groupBy(key, label, "token")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
     )
+    tokcnt = materialize(tokcnt)
     freq = tokcnt.groupBy(label, "token").agg(F.sum("tf").alias("cnt"))
     w = Window.partitionBy(label).orderBy(F.desc("cnt"), F.asc("token"))
     profile = (

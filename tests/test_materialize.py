@@ -1,0 +1,91 @@
+"""Materialization-policy tests: every strategy must round-trip rows and
+schema exactly, and the policy must auto-select `local` on a local
+master (reliable checkpoint on clusters is the same code path with the
+dir pointed at HDFS/S3A — asserted here via a local checkpoint dir)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dropbox_duckdb_playground_spark import materialize as mat
+
+
+@pytest.fixture()
+def df(spark):
+    return spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+    )
+
+
+@pytest.fixture(autouse=True)
+def _restore_policy():
+    yield
+    mat.set_materialization("auto")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_auto_resolves_local_on_local_master(df):
+    assert mat._resolve(df) == "local"
+
+
+def test_local_mode_roundtrip(df):
+    mat.set_materialization("local")
+    out = mat.materialize(df)
+    assert out.schema == df.schema
+    assert _rows(out) == _rows(df)
+
+
+def test_reliable_checkpoint(df, tmp_path):
+    mat.set_materialization("reliable", directory=str(tmp_path / "ckpt"))
+    # force a fresh checkpoint dir even if a previous test set one
+    df.sparkSession.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    out = mat.materialize(df)
+    assert _rows(out) == _rows(df)
+    # the reliable checkpoint must have hit the fault-tolerant directory
+    files = list((tmp_path / "ckpt").rglob("*"))
+    assert files, "reliable checkpoint wrote nothing to the checkpoint dir"
+
+
+def test_parquet_staging_roundtrip(df, tmp_path):
+    mat.set_materialization("parquet", directory=str(tmp_path / "stage"))
+    out = mat.materialize(df)
+    # parquet read-back widens nullability (Spark always reads nullable);
+    # names and types must survive exactly
+    assert [(f.name, f.dataType) for f in out.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+    assert _rows(out) == _rows(df)
+    staged = list((tmp_path / "stage").glob("stage-*"))
+    assert len(staged) == 1
+
+
+def test_none_passthrough(df):
+    mat.set_materialization("none")
+    assert mat.materialize(df) is df
+
+
+def test_invalid_mode_rejected():
+    with pytest.raises(ValueError):
+        mat.set_materialization("bogus")
+
+
+def test_operators_run_under_parquet_policy(spark, tmp_path):
+    """The CC operator (heaviest materialize consumer) must be
+    strategy-agnostic: same clusters under parquet staging as local."""
+    from dropbox_duckdb_playground_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src int, dst int"
+    )
+    expected = _rows(connected_components(edges))
+    mat.set_materialization("parquet", directory=str(tmp_path / "ccstage"))
+    got = _rows(connected_components(edges))
+    assert got == expected
