@@ -1,10 +1,18 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "oracle_total_warm": ...,
+"oracle_queries": {...}}.
 
-Each query is executed to completion (write to a count-consuming action)
-so the measured time covers the full plan, not just planning.
+Each query is executed to a noop-datasource write: unlike count(), which
+lets Catalyst prune projection expressions and unused aggregates (so
+narrow text queries and expression-heavy aggregates would be timed on
+pruned plans), the noop sink consumes EVERY output column, so the
+measured time covers the full plan Spark would run for a real consumer.
+
+The DuckDB oracle suite is also timed on the same parquet (one cold pass
+then one warm pass, warm reported per-query) so the Spark-vs-baseline
+comparison is self-contained in this file's output.
 """
 
 from __future__ import annotations
@@ -17,6 +25,49 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+ORACLE_TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def run_full(df) -> None:
+    """Execute the complete plan, consuming all output columns."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def time_oracles(sf_dir: str) -> tuple[float, float, dict[str, float]]:
+    """DuckDB oracle wall-times on the same parquet: (cold_total,
+    warm_total, warm_per_query). Skips queries with no oracle SQL."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in ORACLE_TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    totals = []
+    per_q: dict[str, float] = {}
+    for label in ("cold", "warm"):
+        t_all = 0.0
+        for name, sql in oracles.items():
+            t0 = time.time()
+            try:
+                con.execute(sql).fetchall()
+            except Exception as exc:
+                sys.stderr.write(f"bench: oracle {name} failed: {exc}\n")
+                per_q[name] = -1.0
+                continue
+            dt = time.time() - t0
+            t_all += dt
+            if label == "warm":
+                per_q[name] = round(dt, 3)
+        totals.append(round(t_all, 3))
+    return totals[0], totals[1], per_q
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,15 +79,16 @@ def main() -> None:
 
     # warm up the JVM/codegen on the smallest sf so measured times are the
     # steady-state plan execution, not first-call JIT compilation. Every
-    # query runs once: the heavy expression trees (simhash bit-sums,
-    # cosine folds) each JIT their own generated classes.
+    # query runs once through the SAME noop sink as the timed pass: the
+    # heavy expression trees (simhash bit-sums, cosine folds) each JIT
+    # their own generated classes.
     from dropbox_duckdb_playground_spark.session import clear_persisted
 
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and os.environ.get("SPARK_GRAFT_NO_WARM") != "1":
         for fn in qs.values():
             try:
-                fn(spark, warm_dir).count()
+                run_full(fn(spark, warm_dir))
             except Exception:
                 pass
             clear_persisted(spark)
@@ -45,33 +97,33 @@ def main() -> None:
     for name, fn in qs.items():
         t0 = time.time()
         try:
-            df = fn(spark, sf_dir)
-            # force full execution; count() on the final frame executes
-            # every operator (aggregations/joins/windows can't be pruned)
-            df.count()
+            run_full(fn(spark, sf_dir))
             timings[name] = round(time.time() - t0, 3)
         except Exception as exc:  # record failures as -1, keep benching
             sys.stderr.write(f"bench: {name} failed: {exc}\n")
             timings[name] = -1.0
         # quiesce between queries (outside the timed window): release
-        # this query's localCheckpoint blocks and absorb the GC pause
+        # this query's materialized blocks and absorb the GC pause
         # they'd otherwise trigger mid-next-query
         clear_persisted(spark)
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
-        )
-    )
+
+    out = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+    if os.environ.get("SPARK_GRAFT_NO_ORACLE") != "1":
+        cold, warm, per_q = time_oracles(sf_dir)
+        out["oracle_total_cold"] = cold
+        out["oracle_total_warm"] = warm
+        out["oracle_queries"] = per_q
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
