@@ -23,7 +23,11 @@ from dropbox_duckdb_playground_spark.er.blocking import block_table, candidate_p
 from dropbox_duckdb_playground_spark.er.clustering import cluster_pairs
 from dropbox_duckdb_playground_spark.er.features import engineer_features
 from dropbox_duckdb_playground_spark.er.scoring import expression_scorer, select_matches
-from dropbox_duckdb_playground_spark.operators.relational import argmax_per_group
+from dropbox_duckdb_playground_spark.operators.relational import (
+    anti_diff,
+    argmax_per_group,
+    union_all,
+)
 
 
 def match_to_canon(
@@ -64,6 +68,49 @@ def match_to_canon(
     )
     return best.select(
         F.col("a_id").alias("messy_id"), F.col("b_id").alias("canon_id"), "score"
+    )
+
+
+def incremental_match_to_canon(
+    messy_features: DataFrame,
+    canon_features: DataFrame,
+    feedback: DataFrame,
+    prev_messy_ids: DataFrame,
+    prev_canon_ids: DataFrame,
+    fields: Sequence[str],
+    scorer: Callable[[DataFrame], DataFrame] | None = None,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """E3 incremental canon pairing (reference `CanonMatcher.Pairer`
+    cache branch, examples/graph/resolution/mapper/canon.py:115-166).
+
+    Instead of re-pairing the full messy×canon space each crawl, split
+    both sides into old (seen last run — ``prev_*_ids``, one ``node_id``
+    column each) and new, pair only the three combinations that can
+    produce unseen matches — old×new, new×old, new×new — union with the
+    cached ``feedback`` match table (which already holds the old×old
+    argmax), and take the global per-messy argmax. With deterministic
+    scoring and tiebreaks this equals a full recompute whenever ids are
+    only ADDED; if a canon id was removed, its stale feedback matches
+    survive (same as the reference) — drop them from ``feedback``
+    upstream and re-pair those messy ids if removal must be handled.
+
+    Scale: the pairing cost per crawl is proportional to the *delta*
+    blocks, not the corpus; ``prev_*_ids`` are key-only tables (broadcast
+    when small) and every sub-pairing reuses the blocked-join path of
+    :func:`match_to_canon`.
+    """
+    scorer = scorer or expression_scorer(fields)
+    old_messy = messy_features.join(F.broadcast(prev_messy_ids), "node_id", "semi")
+    new_messy = anti_diff(messy_features, prev_messy_ids, ["node_id"])
+    old_canon = canon_features.join(F.broadcast(prev_canon_ids), "node_id", "semi")
+    new_canon = anti_diff(canon_features, prev_canon_ids, ["node_id"])
+
+    parts = [feedback.select("messy_id", "canon_id", "score")]
+    for m, c in ((old_messy, new_canon), (new_messy, old_canon), (new_messy, new_canon)):
+        parts.append(match_to_canon(m, c, fields, scorer=scorer, threshold=threshold))
+    return argmax_per_group(
+        union_all(parts), keys=["messy_id"], score="score", tiebreak=["canon_id"]
     )
 
 

@@ -141,3 +141,62 @@ def test_validate_entity_map(spark):
     pairs = spark.createDataFrame([("a", "b"), ("a", "q")], ["a_id", "b_id"])
     got = validate_entity_map(feats, emap, pairs)
     assert got == {"unmapped": 1, "orphan_mapped": 1, "orphan_paired": 1}
+
+
+def test_incremental_match_to_canon_equals_full_recompute(spark):
+    """E3 differential test: the incremental pairing (feedback + three
+    delta pairings + global argmax) must equal match_to_canon on the full
+    current tables when ids are only added between runs."""
+    from dropbox_duckdb_playground_spark.er.resolution import (
+        incremental_match_to_canon,
+    )
+    from dropbox_duckdb_playground_spark.plans.pipeline import assert_frames_equal
+
+    old_messy = _nodes(
+        spark, [(100, "Numpy"), (101, "pandas (>=1.0)"), (102, "nomatchxyz")]
+    )
+    old_canon = _nodes(spark, [(1, "numpy"), (2, "pandas")])
+    # run 2 adds two messy records and one canon that old messy 101
+    # should re-match to (scores higher than its old 'pandas' match)
+    add_messy = [(103, "scipy"), (104, "pandas (>=1.0)")]
+    add_canon = [(3, "pandas (>=1.0)")]
+    full_messy = _nodes(spark, old_messy.collect() + add_messy)
+    full_canon = _nodes(spark, old_canon.collect() + add_canon)
+
+    fields = ["full_name", "before_whitespace"]
+    mf_old = engineer_features(old_messy)
+    cf_old = engineer_features(old_canon)
+    mf = engineer_features(full_messy)
+    cf = engineer_features(full_canon)
+
+    feedback = match_to_canon(mf_old, cf_old, fields)
+    incremental = incremental_match_to_canon(
+        mf,
+        cf,
+        feedback,
+        prev_messy_ids=old_messy.select("node_id"),
+        prev_canon_ids=old_canon.select("node_id"),
+        fields=fields,
+    )
+    full = match_to_canon(mf, cf, fields)
+    assert_frames_equal(incremental, full)
+    # the new canon really does win over the feedback match for 101
+    got = {r.messy_id: r.canon_id for r in incremental.collect()}
+    assert got[101] == 3 and got[104] == 3
+
+
+def test_incremental_match_empty_deltas_is_feedback(spark):
+    """No new ids -> output is exactly the feedback table."""
+    from dropbox_duckdb_playground_spark.er.resolution import (
+        incremental_match_to_canon,
+    )
+
+    messy = _nodes(spark, [(100, "numpy")])
+    canon = _nodes(spark, [(1, "numpy")])
+    mf, cf = engineer_features(messy), engineer_features(canon)
+    fields = ["full_name"]
+    feedback = match_to_canon(mf, cf, fields)
+    out = incremental_match_to_canon(
+        mf, cf, feedback, messy.select("node_id"), canon.select("node_id"), fields
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, feedback.collect()))
