@@ -27,6 +27,27 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _is_uri(path: str) -> bool:
+    return "://" in path
+
+
+def _join(base: str, name: str) -> str:
+    """Path join that preserves URI schemes (os.path.join is correct for
+    both on POSIX, but be explicit about the contract)."""
+    return base.rstrip("/") + "/" + name
+
+
+def _hadoop_ls(spark: SparkSession, uri: str) -> list[str]:
+    """List child names of a directory URI via the session's Hadoop
+    filesystem — works for any scheme the deploy has a connector for
+    (s3a, gs, hdfs, file). Nothing is read; one LIST round trip."""
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(uri)
+    fs = p.getFileSystem(hconf)
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
 @dataclass
 class Engine:
     """Named-table registry on one SparkSession.
@@ -56,15 +77,24 @@ class Engine:
 
     def register_dir(self, sf_dir: str, names: list[str] | None = None) -> None:
         """Register every ``<name>.parquet`` under a directory (the driver's
-        testdata layout, TESTDATA.md)."""
+        testdata layout, TESTDATA.md). Scheme'd URIs (``s3a://``, ``gs://``,
+        ``hdfs://``, ``file://``) are listed through the Hadoop filesystem
+        of the session, local paths through the OS."""
         if names is None:
-            names = sorted(
-                f[: -len(".parquet")]
-                for f in os.listdir(sf_dir)
-                if f.endswith(".parquet")
-            )
+            if _is_uri(sf_dir):
+                names = sorted(
+                    f[: -len(".parquet")]
+                    for f in _hadoop_ls(self.spark, sf_dir)
+                    if f.endswith(".parquet")
+                )
+            else:
+                names = sorted(
+                    f[: -len(".parquet")]
+                    for f in os.listdir(sf_dir)
+                    if f.endswith(".parquet")
+                )
         for name in names:
-            self.register(name, os.path.join(sf_dir, name + ".parquet"))
+            self.register(name, _join(sf_dir, name + ".parquet"))
 
     def table(self, obj_id: str) -> DataFrame:
         if obj_id in self._tables:
@@ -91,7 +121,7 @@ class Engine:
             return path
         if self.root is None:
             raise ValueError("Engine.root not set and no explicit path given")
-        return os.path.join(self.root, obj_id + ".parquet")
+        return _join(self.root, obj_id + ".parquet")
 
     def save(
         self,
@@ -116,11 +146,16 @@ class Engine:
                 .sortBy(*bucket_by)
                 .option("path", out)
             )
-            self.spark.sql(f"DROP TABLE IF EXISTS {obj_id}")
-            writer.format("parquet").saveAsTable(obj_id)
+            # an earlier register() leaves a same-named temp view that
+            # would shadow the catalog table (and whether DROP TABLE
+            # removes temp views is version-dependent) — drop it
+            # explicitly, and quote the identifier
+            self.spark.catalog.dropTempView(obj_id)
+            self.spark.sql(f"DROP TABLE IF EXISTS `{obj_id}`")
+            writer.format("parquet").saveAsTable(f"`{obj_id}`")
             # the catalog table carries the bucketing metadata — register
             # it (a raw path scan would lose bucket info)
-            self._tables[obj_id] = self.spark.table(obj_id)
+            self._tables[obj_id] = self.spark.table(f"`{obj_id}`")
             return out
         if partition_by:
             writer = writer.partitionBy(*partition_by)

@@ -43,17 +43,117 @@ _DEFAULTS = {
 }
 
 
+def s3a_conf(
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    endpoint: str | None = None,
+    magic_committer: bool = True,
+    fs_options: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Spark conf for reading/writing ``s3a://`` paths — the cloud profile
+    the reference served with its Dropbox backend
+    (batch_framework/filesystem.py:167-274, chunked parallel remote IO;
+    here the S3A connector's multipart upload + prefetch replace it).
+
+    - ``magic_committer=True`` enables the S3A *magic committer*: task
+      commits become zero-rename multipart-upload completions, the only
+      correct+fast commit path on S3's non-atomic-rename store.
+    - ``fs_options`` passes any ``fs.s3a.*`` key through verbatim
+      (e.g. ``{"fs.s3a.connection.maximum": "200"}``).
+
+    Keys are returned ``spark.hadoop.``-prefixed so they can be fed to
+    :func:`get_spark(storage_conf=...)` at build time, or applied to a
+    live session with :func:`apply_storage_conf`. Credentials default to
+    the provider chain (env/instance profile) when not given."""
+    conf: dict[str, str] = {}
+    if access_key is not None:
+        conf["spark.hadoop.fs.s3a.access.key"] = access_key
+    if secret_key is not None:
+        conf["spark.hadoop.fs.s3a.secret.key"] = secret_key
+    if endpoint is not None:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+    if magic_committer:
+        conf.update(
+            {
+                "spark.hadoop.fs.s3a.committer.name": "magic",
+                "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+                "spark.hadoop.mapreduce.outputcommitter.factory.scheme.s3a": (
+                    "org.apache.hadoop.fs.s3a.commit.S3ACommitterFactory"
+                ),
+                "spark.sql.parquet.output.committer.class": (
+                    "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+                ),
+                "spark.sql.sources.commitProtocolClass": (
+                    "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+                ),
+            }
+        )
+    for k, v in (fs_options or {}).items():
+        key = k if k.startswith("spark.hadoop.") else f"spark.hadoop.{k}"
+        conf[key] = v
+    return conf
+
+
+def gcs_conf(
+    project: str | None = None,
+    service_account_json: str | None = None,
+    fs_options: dict[str, str] | None = None,
+) -> dict[str, str]:
+    """Spark conf for ``gs://`` paths via the GCS Hadoop connector.
+    GCS renames are server-side copies (no S3-style listing
+    inconsistency), so the default FileOutputCommitter v2 is safe; the
+    keys here wire the filesystem impl + credentials."""
+    conf = {
+        "spark.hadoop.fs.gs.impl": (
+            "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem"
+        ),
+        "spark.hadoop.fs.AbstractFileSystem.gs.impl": (
+            "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFS"
+        ),
+    }
+    if project is not None:
+        conf["spark.hadoop.fs.gs.project.id"] = project
+    if service_account_json is not None:
+        conf["spark.hadoop.google.cloud.auth.service.account.enable"] = "true"
+        conf["spark.hadoop.google.cloud.auth.service.account.json.keyfile"] = (
+            service_account_json
+        )
+    for k, v in (fs_options or {}).items():
+        key = k if k.startswith("spark.hadoop.") else f"spark.hadoop.{k}"
+        conf[key] = v
+    return conf
+
+
+def apply_storage_conf(spark: SparkSession, conf: dict[str, str]) -> None:
+    """Apply ``spark.hadoop.*`` storage keys to a LIVE session's Hadoop
+    configuration (SQL keys go through spark.conf). Build-time
+    ``get_spark(storage_conf=...)`` is preferred — committer classes read
+    some keys at job-setup only — but credentials/endpoint/tuning keys
+    are honored at next filesystem access."""
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    for k, v in conf.items():
+        if k.startswith("spark.hadoop."):
+            hconf.set(k[len("spark.hadoop.") :], v)
+        else:
+            spark.conf.set(k, v)
+
+
 def get_spark(
     app_name: str = "dropbox_duckdb_playground_spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    storage_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or reuse) the tuned SparkSession.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
     so tests and bench share one code path; on a real cluster pass
     ``master=None`` with ``spark.master`` preset in spark-submit.
+
+    ``storage_conf`` is an object-store profile from :func:`s3a_conf` /
+    :func:`gcs_conf` (or any ``spark.hadoop.*`` dict); pass it at build
+    time so commit-protocol classes are in force for every write.
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
@@ -67,12 +167,19 @@ def get_spark(
     # local mode: driver is the only JVM — give it the memory.
     if master.startswith("local"):
         conf.setdefault("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+    if storage_conf:
+        conf.update(storage_conf)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if storage_conf:
+        # getOrCreate may have returned a pre-existing session whose
+        # builder confs were ignored — make the storage profile land
+        # either way.
+        apply_storage_conf(spark, storage_conf)
     return spark
 
 
