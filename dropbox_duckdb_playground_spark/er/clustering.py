@@ -32,10 +32,23 @@ def cluster_pairs(pairs: DataFrame) -> DataFrame:
 
 def combine_mappings(mappers: Sequence[DataFrame]) -> DataFrame:
     """E8 `MappingCombiner` (resolution/main.py:210-244): UNION ALL of
-    (messy_id, new_id) mappers — canon matches take precedence upstream."""
-    return union_all(
-        [m.select("messy_id", "new_id") for m in mappers]
-    ).dropDuplicates(["messy_id"])
+    (messy_id, new_id) mappers with earlier-mapper precedence — rank-1
+    per messy_id over (mapper position, new_id), so overlapping mappers
+    resolve deterministically (canon matches first by convention) rather
+    than by dropDuplicates' arbitrary row choice."""
+    from pyspark.sql import Window
+
+    tagged = [
+        m.select("messy_id", "new_id", F.lit(i).alias("__prio__"))
+        for i, m in enumerate(mappers)
+    ]
+    w = Window.partitionBy("messy_id").orderBy(F.asc("__prio__"), F.asc("new_id"))
+    return (
+        union_all(tagged)
+        .withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select("messy_id", "new_id")
+    )
 
 
 def convert_ids(

@@ -76,10 +76,16 @@ def pandas_batch_scorer(
     def score(pairs: DataFrame) -> DataFrame:
         import pandas as pd  # noqa: F401
 
+        from pyspark.sql.types import StructField, StructType, _parse_datatype_string
+
         sc = pairs.sparkSession.sparkContext
         b_model = sc.broadcast(model_bytes)
-        schema = pairs.schema.simpleString().replace("struct<", "").rstrip(">")
-        out_schema = f"{schema},score:{out_type}"
+        # build the output schema structurally — string surgery on
+        # simpleString() breaks as soon as a column is itself a struct
+        out_schema = StructType(
+            list(pairs.schema.fields)
+            + [StructField("score", _parse_datatype_string(out_type))]
+        )
         _cache: dict[str, object] = {}
 
         def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:

@@ -184,7 +184,27 @@ def _rewrite_distinct_on(sql: str) -> str:
                 bare = bare[: dm.start()].strip()
             return alias_to_expr.get(bare, bare) + desc
 
-        out_cols = ", ".join(name for _, name in map(split_alias, items))
+        # Inner select list: give every item a name the OUTER select can
+        # reference. Qualified refs (t.col) surface as their last segment;
+        # unaliased expressions get a synthetic __c{i} — projecting the
+        # raw item text outward would either fail to resolve (t.col) or
+        # re-evaluate against the subquery output (count(*)).
+        inner_items: list[str] = []
+        out_names: list[str] = []
+        for i, item in enumerate(items):
+            expr, name = split_alias(item)
+            if name == item:  # no explicit alias
+                if re.fullmatch(r"[\w.]+", expr):
+                    name = expr.split(".")[-1]
+                    inner_items.append(expr)
+                else:
+                    name = f"__c{i}"
+                    inner_items.append(f"{expr} AS {name}")
+            else:
+                inner_items.append(item)
+            out_names.append(name)
+
+        out_cols = ", ".join(out_names)
         keys = [resolve(k) for k in keys]
         if order_clause:
             order_items = _split_top_level(order_clause[len("ORDER BY") :].strip())
@@ -196,12 +216,39 @@ def _rewrite_distinct_on(sql: str) -> str:
             )
 
         inner = (
-            f"SELECT {select_list}, row_number() OVER ("
+            f"SELECT {', '.join(inner_items)}, row_number() OVER ("
             f"PARTITION BY {', '.join(keys)} ORDER BY {window_order}) AS __rn__ {rest}"
         )
         replacement = f"SELECT {out_cols} FROM ({inner}) WHERE __rn__ = 1"
         if order_clause:
-            replacement += f" {order_clause}"
+            # the outer scope only has the projected names — map each
+            # order item onto its output name where one exists
+            expr_to_name = {
+                split_alias(item)[0]: name for item, name in zip(items, out_names)
+            }
+            outer_order = []
+            for o in _split_top_level(order_clause[len("ORDER BY") :].strip()):
+                bare = o.strip()
+                desc = ""
+                dm = re.search(r"\s+(ASC|DESC)\s*$", bare, re.IGNORECASE)
+                if dm:
+                    desc = " " + dm.group(1).upper()
+                    bare = bare[: dm.start()].strip()
+                if bare in expr_to_name:
+                    outer_order.append(expr_to_name[bare] + desc)
+                elif re.fullmatch(r"[\w.]+", bare):
+                    name = bare.split(".")[-1]
+                    if name in out_names:
+                        outer_order.append(name + desc)
+                    # else: orders a column the outer scope doesn't
+                    # project — it already did its semantic job as the
+                    # window order (row selection); skip the re-sort
+                else:
+                    # arbitrary expression — may legitimately reference
+                    # projected columns; pass through
+                    outer_order.append(bare + desc)
+            if outer_order:
+                replacement += f" ORDER BY {', '.join(outer_order)}"
         sql = sql[: m.start()] + replacement + sql[end:]
 
 

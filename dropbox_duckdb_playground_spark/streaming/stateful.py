@@ -36,11 +36,13 @@ def first_seen_dedup(
     ``out_schema`` must name the columns to keep (key first). With
     ``ttl_ms`` set, a key's seen-marker expires after that idle time
     (processing-time timeout) — bounded state for unbounded keys."""
-    cols = [c.split()[0] for c in out_schema.split(",")]
+    from pyspark.sql.types import _parse_datatype_string
+
+    # proper schema parse — naive comma-splitting breaks on types that
+    # contain commas themselves (decimal(10,2), struct<...>)
+    cols = _parse_datatype_string(out_schema).fieldNames()
 
     def run(key_tuple, pdfs, state: GroupState):
-        import pandas as pd
-
         if ttl_ms is not None and state.hasTimedOut:
             state.remove()
             return
@@ -54,12 +56,9 @@ def first_seen_dedup(
                 if ttl_ms is not None:
                     state.setTimeoutDuration(ttl_ms)
                 yield first
-        else:
-            if ttl_ms is not None:
-                state.setTimeoutDuration(ttl_ms)
-            # drain without emitting: key already seen
-            if False:
-                yield pd.DataFrame()
+        elif ttl_ms is not None:
+            # key already seen: refresh the TTL, emit nothing
+            state.setTimeoutDuration(ttl_ms)
 
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout

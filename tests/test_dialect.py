@@ -47,3 +47,22 @@ def test_distinct_on_executes(spark):
     ).collect()
     got = {(r.k, r.v) for r in rows}
     assert got == {(1, "a"), (2, "c")}  # deterministic: first under (k, v)
+
+
+def test_distinct_on_qualified_refs_and_unaliased_exprs(spark):
+    """Qualified refs (t.col) and unaliased expressions in the DISTINCT ON
+    select list must survive the rewrite: the outer select projects
+    output names, not raw item text (ADVICE r1)."""
+    from dropbox_duckdb_playground_spark.sql.dialect import translate
+
+    spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "c", 5)], ["k", "v", "n"]
+    ).createOrReplaceTempView("t_don")
+    out = spark.sql(
+        translate(
+            "SELECT DISTINCT ON (t.k) t.k, t.v, n + 0 FROM t_don t ORDER BY t.k, n DESC"
+        )
+    )
+    rows = [tuple(r) for r in out.collect()]
+    assert rows == [(1, "b", 20), (2, "c", 5)]
+    assert out.columns[:2] == ["k", "v"]

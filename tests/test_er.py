@@ -200,3 +200,32 @@ def test_incremental_match_empty_deltas_is_feedback(spark):
         mf, cf, feedback, messy.select("node_id"), canon.select("node_id"), fields
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, feedback.collect()))
+
+
+def test_combine_mappings_priority_deterministic_on_overlap(spark):
+    """Direct callers with overlapping mappers: earlier mapper must win
+    regardless of union physical order (ADVICE r1)."""
+    a = spark.createDataFrame([(1, 111), (5, 555)], ["messy_id", "new_id"])
+    b = spark.createDataFrame([(1, 999), (2, 222)], ["messy_id", "new_id"])
+    for mappers, want1 in [([a, b], 111), ([b, a], 999)]:
+        got = {r.messy_id: r.new_id for r in combine_mappings(mappers).collect()}
+        assert got[1] == want1 and got[2] == 222 and got[5] == 555
+
+
+def test_pandas_batch_scorer_struct_column(spark):
+    """Output schema must be built structurally — a struct-typed column
+    broke the old simpleString() surgery (ADVICE r1)."""
+    import pickle
+
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(1, 2, "x", "x")], ["a_id", "b_id", "a_full_name", "b_full_name"]
+    ).withColumn("meta", F.struct(F.lit(1).alias("u"), F.lit("z").alias("w")))
+
+    def score_fn(m, pdf):
+        return (pdf["a_full_name"] == pdf["b_full_name"]).astype(float)
+
+    scorer = pandas_batch_scorer(pickle.dumps({}), score_fn)
+    row = scorer(pairs).collect()[0]
+    assert row.score == 1.0 and row.meta.u == 1 and row.meta.w == "z"
