@@ -10,10 +10,12 @@ struct — the layout used by public web-scale dataset pipelines
 
 Decode / feature-extraction run as Arrow-batched `mapInPandas` stages so
 the heavy per-item work scales with partitions and never touches the
-driver. The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this
-container — `decode_fn` is pluggable and the default is a clearly-marked
-deterministic fake, so the Spark-side plumbing (schema, batching,
-partitioning) is real and tested while the codec is a stub.
+driver. The codecs are pluggable: the defaults try PIL with a lazy
+worker-side import and fall back to a clearly-marked deterministic fake
+when it isn't installed (this container ships no image libs), so the
+Spark-side plumbing (schema, batching, partitioning) is real and tested
+everywhere and a cluster image with PIL gets real decodes with zero code
+change.
 """
 
 from __future__ import annotations
@@ -78,9 +80,41 @@ def fake_image_decode(content: bytes) -> dict:
     return {"width": width, "height": height, "features": feats}
 
 
+def pil_image_decode(content: bytes) -> dict:
+    """Real image decode via PIL (imported lazily, worker-side): true
+    dimensions plus a 4-dim feature vector (normalized mean R/G/B +
+    luminance of a 32x32 thumbnail). Raises ImportError when PIL is not
+    installed — see `default_image_decode` for the fallback wiring."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(content))
+    width, height = img.size
+    thumb = img.convert("RGB")
+    thumb.thumbnail((32, 32))
+    px = list(thumb.getdata())
+    n = max(len(px), 1)
+    r = sum(p[0] for p in px) / (255.0 * n)
+    g = sum(p[1] for p in px) / (255.0 * n)
+    b = sum(p[2] for p in px) / (255.0 * n)
+    lum = 0.2126 * r + 0.7152 * g + 0.0722 * b
+    return {"width": width, "height": height, "features": [r, g, b, lum]}
+
+
+def default_image_decode(content: bytes) -> dict:
+    """PIL when importable, the deterministic fake otherwise — so the
+    same pipeline code runs real decodes on a cluster image that ships
+    PIL and stays testable in codec-less environments."""
+    try:
+        return pil_image_decode(content)
+    except ImportError:
+        return fake_image_decode(content)
+
+
 def decode_features(
     media: DataFrame,
-    decode_fn: Callable[[bytes], dict] = fake_image_decode,
+    decode_fn: Callable[[bytes], dict] = default_image_decode,
     id_col: str = "media_id",
     content_col: str = "content",
 ) -> DataFrame:
@@ -96,9 +130,10 @@ def decode_features(
 
         for pdf in batches:
             rows = {"media_id": [], "width": [], "height": [], "features": []}
-            for _, row in pdf.iterrows():
-                d = decode_fn(row[content_col])
-                rows["media_id"].append(row[id_col])
+            # column-wise zip, not iterrows (which builds a Series per row)
+            for mid, content in zip(pdf[id_col].values, pdf[content_col].values):
+                d = decode_fn(content)
+                rows["media_id"].append(mid)
                 rows["width"].append(d["width"])
                 rows["height"].append(d["height"])
                 rows["features"].append(d["features"])
@@ -121,28 +156,50 @@ def fake_image_resize(content: bytes, width: int, height: int) -> dict:
     return {"content": digest, "width": width, "height": height}
 
 
+def pil_image_resize(content: bytes, width: int, height: int) -> dict:
+    """Real resize via PIL (lazy worker-side import): re-encodes to PNG
+    at the target dims. Raises ImportError without PIL."""
+    import io
+
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(content)).resize((width, height))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return {"content": buf.getvalue(), "width": width, "height": height}
+
+
+def default_image_resize(content: bytes, width: int, height: int) -> dict:
+    """PIL when importable, deterministic fake otherwise."""
+    try:
+        return pil_image_resize(content, width, height)
+    except ImportError:
+        return fake_image_resize(content, width, height)
+
+
 def resize_images(
     media: DataFrame,
     width: int,
     height: int,
-    resize_fn: Callable[[bytes, int, int], dict] = fake_image_resize,
+    resize_fn: Callable[[bytes, int, int], dict] = default_image_resize,
     id_col: str = "media_id",
     content_col: str = "content",
 ) -> DataFrame:
     """Arrow-batched resize stage: (media_id, content binary, width, height).
 
     Same scale shape as `decode_features`: map-side only, Arrow batch
-    transfer, pluggable codec. The default fake keeps the plumbing
-    (schema, batching, binary round-trip) real and testable."""
+    transfer, pluggable codec. The default resolves PIL per worker and
+    falls back to the fake, keeping the plumbing (schema, batching,
+    binary round-trip) real and testable everywhere."""
 
     def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
             rows = {"media_id": [], "content": [], "width": [], "height": []}
-            for _, row in pdf.iterrows():
-                d = resize_fn(row[content_col], width, height)
-                rows["media_id"].append(row[id_col])
+            for mid, content in zip(pdf[id_col].values, pdf[content_col].values):
+                d = resize_fn(content, width, height)
+                rows["media_id"].append(mid)
                 rows["content"].append(d["content"])
                 rows["width"].append(d["width"])
                 rows["height"].append(d["height"])

@@ -73,12 +73,12 @@ def fetch_json_table(
 
         for pdf in batches:
             out = {"url": [], "status": [], "body": [], "etag": []}
-            for _, row in pdf.iterrows():
+            etags = pdf[etag_col].values if etag_col else [None] * len(pdf)
+            for url, etag in zip(pdf[url_col].values, etags):
                 if rate_limit_per_sec:
                     time.sleep(1.0 / rate_limit_per_sec)
-                etag = row[etag_col] if etag_col else None
-                status, body, new_etag = fetcher(row[url_col], etag)
-                out["url"].append(row[url_col])
+                status, body, new_etag = fetcher(url, etag)
+                out["url"].append(url)
                 out["status"].append(status)
                 out["body"].append(body)
                 out["etag"].append(new_etag)

@@ -173,3 +173,50 @@ def test_resize_images_plumbing(spark):
     first = {r.media_id: bytes(r.content) for r in out}
     assert first == again
     assert len(set(first.values())) == 6
+
+
+# -- real-codec path (PIL optional) -----------------------------------------
+
+# minimal valid 1x1 red PNG (public PNG spec; no image lib needed to embed)
+_PNG_1x1 = bytes.fromhex(
+    "89504e470d0a1a0a0000000d49484452000000010000000108020000009077"
+    "53de0000000c4944415408d763f8cfc0000000030001b9989ddd0000000049"
+    "454e44ae426082"
+)
+
+
+def test_default_decode_falls_back_without_pil(spark):
+    """default_image_decode must work in codec-less environments by
+    falling back to the deterministic fake."""
+    import importlib.util
+
+    from dropbox_duckdb_playground_spark.operators import multimodal as MM
+
+    if importlib.util.find_spec("PIL") is not None:
+        import pytest
+
+        pytest.skip("PIL installed — fallback path not reachable")
+    assert MM.default_image_decode(_PNG_1x1) == MM.fake_image_decode(_PNG_1x1)
+
+
+def test_pil_decode_real_png(spark):
+    """Real-codec path: decode an actual PNG through the default decode
+    inside the Spark pipeline (skipped when PIL is absent)."""
+    import importlib.util
+
+    import pytest
+
+    if importlib.util.find_spec("PIL") is None:
+        pytest.skip("PIL not installed in this environment")
+    from dropbox_duckdb_playground_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame([(1, _PNG_1x1)], ["media_id", "content"])
+    row = MM.decode_features(df).collect()[0]
+    assert (row.width, row.height) == (1, 1)
+    # pure red 1x1: r≈1, g≈0, b≈0
+    assert row.features[0] > 0.9 and row.features[1] < 0.1
+
+    resized = MM.resize_images(df, 4, 3).collect()[0]
+    assert (resized.width, resized.height) == (4, 3)
+    redecoded = MM.pil_image_decode(bytes(resized.content))
+    assert (redecoded["width"], redecoded["height"]) == (4, 3)
