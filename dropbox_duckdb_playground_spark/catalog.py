@@ -994,10 +994,10 @@ def q33_canon_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # weak connected components (oracle: recursive-CTE transitive closure)
 
 
-@register(
-    "q34_er_doc_clusters",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, trim(text) AS t FROM documents),
+# Shared oracle CTE chain: document near-dup clustering (3-gram shingle
+# jaccard >= 0.2 -> recursive-CTE transitive closure -> min-label per
+# doc, singletons included). Used by q34 and the q43 flagship.
+DOC_CLUSTER_CTES = f"""toks AS (SELECT doc_id, trim(text) AS t FROM documents),
     pos AS (
       SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS tok,
              generate_subscripts(string_split_regex(t, '\\s+'), 1) AS pos
@@ -1010,24 +1010,32 @@ def q33_canon_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
       WHERE shingle IS NOT NULL),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-    pairs AS (
+    jpairs AS (
       SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS common
       FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
       GROUP BY 1, 2),
     match_edges AS (
-      SELECT a, b FROM pairs p
+      SELECT a, b FROM jpairs p
       JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id
       WHERE round(p.common * 1.0 / (sa.sz + sb.sz - p.common), 4) >= 0.2),
-    edges AS (
+    cedges AS (
       SELECT a, b FROM match_edges UNION SELECT b, a FROM match_edges
       UNION SELECT doc_id, doc_id FROM documents),
     rec AS (
       WITH RECURSIVE reach(a, b) AS (
-        SELECT a, b FROM edges
+        SELECT a, b FROM cedges
         UNION
-        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-      SELECT a, b FROM reach)
-    SELECT a AS node_id, min(b) AS cluster_id FROM rec GROUP BY a
+        SELECT r.a, e.b FROM reach r JOIN cedges e ON r.b = e.a)
+      SELECT a, b FROM reach),
+    doc_labels AS (
+      SELECT a AS node_id, min(b) AS cluster_id FROM rec GROUP BY a)"""
+
+
+@register(
+    "q34_er_doc_clusters",
+    oracle=f"""
+    WITH {DOC_CLUSTER_CTES}
+    SELECT node_id, cluster_id FROM doc_labels
     """,
     tags="E4 E5 E6 E7 dedup-pipeline",
 )
@@ -1328,6 +1336,118 @@ def q41_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q42_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.winnow_fingerprints(load(spark, sf_dir, "documents"), n=3, w=4)
+
+
+# ---------------------------------------------------------------------------
+# §2 flagship end-to-end parity query — the reference's `run_whole.py`
+# GraphConstructor shape as ONE dataflow: crawl-output tabularize (F8/N1)
+# → referential validation (V1 semantics) → entity resolution of
+# near-duplicate targets (E4-E7) → id conversion (E9/J3) → grouped link
+# properties with per-group argmax (A1/A4) → portable node ids (F1) →
+# RedisGraph bulk-insert typed headers (S10/F10).
+
+
+@register(
+    "q43_flagship_graph",
+    oracle=f"""
+    WITH {DOC_CLUSTER_CTES},
+    tab AS (
+      SELECT event_id, user_id, ts, event_type, value,
+             json_extract_string(props, '$.k')::BIGINT AS doc_ref
+      FROM events),
+    valid AS (
+      SELECT t.* FROM tab t
+      WHERE EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = t.doc_ref)),
+    conv AS (
+      SELECT v.event_id, v.user_id, v.ts, v.event_type, v.value,
+             COALESCE(l.cluster_id, v.doc_ref) AS doc_cluster
+      FROM valid v LEFT JOIN doc_labels l ON v.doc_ref = l.node_id),
+    agg AS (
+      SELECT user_id, doc_cluster, count(*) AS n_events,
+             round(sum(value), 2) AS total_value
+      FROM conv GROUP BY 1, 2),
+    last AS (
+      SELECT user_id, doc_cluster, event_type AS last_type FROM (
+        SELECT user_id, doc_cluster, event_type,
+               row_number() OVER (PARTITION BY user_id, doc_cluster
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM conv) WHERE rn = 1)
+    SELECT {DUCK_ID.format(x="'user:' || a.user_id")}    AS ":START_ID",
+           {DUCK_ID.format(x="'doc:' || a.doc_cluster")} AS ":END_ID",
+           a.n_events    AS "n_events:LONG",
+           a.total_value AS "total_value:FLOAT",
+           l.last_type   AS "last_type:STRING"
+    FROM agg a JOIN last l
+      ON a.user_id = l.user_id AND a.doc_cluster = l.doc_cluster
+    """,
+    tags="flagship F8 N1 V1 E4 E5 E6 E7 E9 J3 A1 A4 F1 S10 F10",
+)
+def q43_flagship_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference `examples/run_whole.py:51-56` (GraphConstructor): the
+    whole crawl→tabularize→extract→ER→convert→group→export dataflow as
+    one plan, over the driver's events (crawl output analog) and
+    documents (link-target corpus) tables."""
+    from dropbox_duckdb_playground_spark.er.clustering import convert_ids
+    from dropbox_duckdb_playground_spark.sources.redisgraph import (
+        redisgraph_link_header,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    docs = load(spark, sf_dir, "documents")
+
+    # 1. tabularize the crawled JSON payloads (F8/N1)
+    tab = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("long").alias("doc_ref"),
+    )
+    # 2. V1 referential validation, as exclusion semantics: a link whose
+    #    target is not a known document never reaches the graph
+    valid = tab.join(
+        docs.select(F.col("doc_id").alias("doc_ref")), "doc_ref", "semi"
+    )
+    # 3. E4-E7: resolve near-duplicate documents into clusters (the same
+    #    operator chain q34 checks in isolation)
+    pairs = D.ngram_jaccard_pairs(D.shingles(docs, n=3), threshold=0.2)
+    labels = connected_components(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    mapper = (
+        docs.select("doc_id")
+        .join(labels, docs["doc_id"] == labels["node_id"], "left")
+        .select(
+            F.col("doc_id").alias("messy_id"),
+            F.coalesce("cluster_id", "doc_id").alias("new_id"),
+        )
+    )
+    # 4. E9/J3: rewrite link targets through the mapper (broadcast)
+    conv = convert_ids(valid, mapper, ["doc_ref"]).withColumnRenamed(
+        "doc_ref", "doc_cluster"
+    )
+    # 5. A1 + A4: per-edge aggregates and latest event type
+    agg = conv.groupBy("user_id", "doc_cluster").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    last = argmax_per_group(
+        conv.select("user_id", "doc_cluster", "event_type", "ts", "event_id"),
+        keys=["user_id", "doc_cluster"],
+        score="ts",
+        tiebreak=[F.desc("event_id")],
+    ).select("user_id", "doc_cluster", F.col("event_type").alias("last_type"))
+    out = agg.join(last, ["user_id", "doc_cluster"])
+    # 6. F1 portable node ids + S10/F10 RedisGraph bulk-insert headers
+    ids = out.select(
+        F.expr(SPARK_ID.format(x="concat('user:', user_id)")).alias("from_id"),
+        F.expr(SPARK_ID.format(x="concat('doc:', doc_cluster)")).alias("to_id"),
+        "n_events",
+        "total_value",
+        "last_type",
+    )
+    return redisgraph_link_header(ids)
 
 
 # ---------------------------------------------------------------------------
