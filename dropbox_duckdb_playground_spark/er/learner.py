@@ -111,6 +111,114 @@ def train_matcher(
     return MatchModel(list(fields), [float(v) for v in w[:-1]], float(w[-1]))
 
 
+class LabelingSession:
+    """Active-learning labeling loop (E10) — the reference's
+    ``console_label(deduper)`` workflow (examples/graph/resolution/
+    learner.py:40-48) with the human I/O decoupled from the pipeline:
+    the caller fetches the next most-informative batch, collects labels
+    through ANY UI, and feeds them back.
+
+    Uncertainty sampling: candidates are scored with the current model
+    (distributed, Column expressions) and the unlabeled pairs whose
+    scores are closest to 0.5 are surfaced next — the same
+    query-by-uncertainty strategy dedupe's active learner uses. Only the
+    labeled pairs (human-sized by construction) ever reach the driver;
+    the candidate universe stays in Spark, so the session works
+    unchanged over a 100 TB pair table.
+
+    >>> sess = LabelingSession(pairs, fields=["full_name"])
+    >>> batch = sess.next_batch()          # pandas: a_id/b_id + fields
+    >>> sess.label(batch, [True, False, ...])
+    >>> model = sess.model()               # retrained on all labels
+    """
+
+    def __init__(
+        self,
+        candidate_pairs: DataFrame,
+        fields: list[str],
+        batch_size: int = 10,
+        l2: float = 1e-3,
+    ) -> None:
+        self._pairs = candidate_pairs
+        self._fields = list(fields)
+        self._batch = batch_size
+        self._l2 = l2
+        self._labeled: list[dict] = []  # driver-side, human-sized
+        self._model: MatchModel | None = None
+
+    def _scorer(self):
+        if self._model is not None:
+            return self._model.scorer()
+        return expression_scorer(self._fields)  # default weights to start
+
+    def next_batch(self) -> "pandas.DataFrame":
+        """Most-uncertain unlabeled pairs as a small pandas frame
+        (columns: a_id, b_id, a_<field>, b_<field> ..., score)."""
+        scored = self._scorer()(self._pairs)
+        if self._labeled:
+            spark = self._pairs.sparkSession
+            done = spark.createDataFrame(
+                [(r["a_id"], r["b_id"]) for r in self._labeled],
+                ["a_id", "b_id"],
+            )
+            scored = scored.join(F.broadcast(done), ["a_id", "b_id"], "left_anti")
+        cols = ["a_id", "b_id"] + [
+            c for f in self._fields for c in (f"a_{f}", f"b_{f}")
+        ]
+        return (
+            scored.select(*cols, "score")
+            .orderBy(F.abs(F.col("score") - 0.5), "a_id", "b_id")
+            .limit(self._batch)
+            .toPandas()
+        )
+
+    def label(self, batch: "pandas.DataFrame", is_match: list[bool]) -> None:
+        """Record human labels for a batch returned by `next_batch` and
+        retrain the model on everything labeled so far."""
+        if len(batch) != len(is_match):
+            raise ValueError("one label per batch row required")
+        for row, y in zip(batch.itertuples(index=False), is_match):
+            rec = {"a_id": row.a_id, "b_id": row.b_id, "is_match": bool(y)}
+            for f in self._fields:
+                rec[f"a_{f}"] = getattr(row, f"a_{f}")
+                rec[f"b_{f}"] = getattr(row, f"b_{f}")
+            self._labeled.append(rec)
+        self._retrain()
+
+    def _retrain(self) -> None:
+        ys = {r["is_match"] for r in self._labeled}
+        if ys != {True, False}:
+            return  # need both classes before a fit is meaningful
+        spark = self._pairs.sparkSession
+        labeled = spark.createDataFrame(self._labeled)
+        self._model = train_matcher(
+            labeled, self._fields, label_col="is_match", l2=self._l2
+        )
+
+    def model(self) -> MatchModel:
+        if self._model is None:
+            raise RuntimeError(
+                "no model yet: label at least one match and one distinct pair"
+            )
+        return self._model
+
+    def n_labeled(self) -> int:
+        return len(self._labeled)
+
+    def training_json(self) -> str:
+        """dedupe-style training artifact: {'match': [...], 'distinct':
+        [...]} with per-side field dicts (the reference persists exactly
+        this shape next to its binary model, learner.py:49-66)."""
+        out: dict[str, list] = {"match": [], "distinct": []}
+        for r in self._labeled:
+            pair = [
+                {f: r[f"a_{f}"] for f in self._fields},
+                {f: r[f"b_{f}"] for f in self._fields},
+            ]
+            out["match" if r["is_match"] else "distinct"].append(pair)
+        return json.dumps(out)
+
+
 def save_model(model: MatchModel, path: str) -> None:
     """Persist the weights artifact (reference keeps a training JSON +
     binary model per matcher, learner.py:49-66 — ours is one JSON)."""

@@ -133,3 +133,46 @@ def test_bulk_insert_command_shape():
         "pypi", {}, {}, runner=lambda argv: seen.setdefault("argv", argv) and 0 or 0
     )
     assert rc == 0 and seen["argv"][1] == "pypi"
+
+
+def test_labeling_session_active_loop(spark):
+    """E10 active-learning workflow (reference console_label, decoupled):
+    uncertainty-sampled batches, programmatic labels, model that
+    separates matches from distinct pairs, dedupe-shaped artifact."""
+    import json
+
+    from dropbox_duckdb_playground_spark.er.learner import LabelingSession
+
+    rows = []
+    # 20 obvious matches (identical names) + 20 obvious distincts
+    for i in range(20):
+        rows.append((i, 100 + i, f"package-{i}", f"package-{i}"))
+        rows.append((200 + i, 300 + i, f"alpha-{i}", f"zz-{i*7}-q"))
+    pairs = spark.createDataFrame(rows, ["a_id", "b_id", "a_name", "b_name"])
+
+    sess = LabelingSession(pairs, fields=["name"], batch_size=8)
+    for _ in range(3):
+        batch = sess.next_batch()
+        assert 0 < len(batch) <= 8
+        labels = [row.a_name == row.b_name for row in batch.itertuples(index=False)]
+        sess.label(batch, labels)
+    assert sess.n_labeled() == 24
+
+    # batches never repeat already-labeled pairs
+    seen = {(r["a_id"], r["b_id"]) for _, r in sess.next_batch().iterrows()}
+    labeled_ids = {(r["a_id"], r["b_id"]) for r in sess._labeled}
+    assert not (seen & labeled_ids)
+
+    # the trained model separates the two populations
+    scored = sess.model().scorer()(pairs)
+    from pyspark.sql import functions as F
+
+    agg = scored.select(
+        F.min(F.when(F.col("a_name") == F.col("b_name"), F.col("score"))).alias("min_m"),
+        F.max(F.when(F.col("a_name") != F.col("b_name"), F.col("score"))).alias("max_d"),
+    ).collect()[0]
+    assert agg.min_m > agg.max_d
+
+    art = json.loads(sess.training_json())
+    assert len(art["match"]) + len(art["distinct"]) == 24
+    assert all(p[0]["name"] == p[1]["name"] for p in art["match"])
