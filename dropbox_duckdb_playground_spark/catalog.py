@@ -1427,18 +1427,20 @@ def q43_flagship_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     conv = convert_ids(valid, mapper, ["doc_ref"]).withColumnRenamed(
         "doc_ref", "doc_cluster"
     )
-    # 5. A1 + A4: per-edge aggregates and latest event type
-    agg = conv.groupBy("user_id", "doc_cluster").agg(
+    # 5. A1 + A4 fused: one hash aggregate computes the per-edge counts
+    #    AND the latest event type via max_by over the (ts, event_id)
+    #    ordering struct.  The naive shape — groupBy + window-argmax +
+    #    self-join on `conv` — branches the plan, re-executing the whole
+    #    upstream (scan, semi join, mapper join) once per branch and
+    #    adding a window sort plus a join shuffle; the fused form is one
+    #    shuffle on (user_id, doc_cluster) and scales linearly.
+    out = conv.groupBy("user_id", "doc_cluster").agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
+        F.expr(
+            "max_by(event_type, struct(ts, event_id))"
+        ).alias("last_type"),
     )
-    last = argmax_per_group(
-        conv.select("user_id", "doc_cluster", "event_type", "ts", "event_id"),
-        keys=["user_id", "doc_cluster"],
-        score="ts",
-        tiebreak=[F.desc("event_id")],
-    ).select("user_id", "doc_cluster", F.col("event_type").alias("last_type"))
-    out = agg.join(last, ["user_id", "doc_cluster"])
     # 6. F1 portable node ids + S10/F10 RedisGraph bulk-insert headers
     ids = out.select(
         F.expr(SPARK_ID.format(x="concat('user:', user_id)")).alias("from_id"),
