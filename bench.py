@@ -82,7 +82,7 @@ def main() -> None:
     # query runs once through the SAME noop sink as the timed pass: the
     # heavy expression trees (simhash bit-sums, cosine folds) each JIT
     # their own generated classes.
-    from dropbox_duckdb_playground_spark.session import clear_persisted
+    from dropbox_duckdb_playground_spark.session import quiesce
 
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and os.environ.get("SPARK_GRAFT_NO_WARM") != "1":
@@ -91,7 +91,7 @@ def main() -> None:
                 run_full(fn(spark, warm_dir))
             except Exception:
                 pass
-            clear_persisted(spark)
+            quiesce(spark)
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
@@ -103,10 +103,10 @@ def main() -> None:
             sys.stderr.write(f"bench: {name} failed: {exc}\n")
             timings[name] = -1.0
         # quiesce between queries (outside the timed window): release
-        # this query's materialized blocks and absorb the GC pause
-        # they'd otherwise trigger mid-next-query
-        clear_persisted(spark)
-        spark.sparkContext._jvm.System.gc()
+        # this query's materialized blocks, collect Python-side plan
+        # cycles so ContextCleaner can reclaim shuffles/broadcasts, and
+        # absorb the GC pause they'd otherwise trigger mid-next-query
+        quiesce(spark)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

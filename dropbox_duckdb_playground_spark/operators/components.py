@@ -171,6 +171,28 @@ def connected_components(
         .union(raw.select(F.col("b").alias("node")))
         .distinct()
     )
+    # Fast path: if the RAW edge list already fits one task, feed it to
+    # the single-task union-find directly — duplicates, mirrored pairs,
+    # and self-edges are all no-ops for union-find, so the canonicalize
+    # + distinct shuffle (and its materialize/count sync jobs) would
+    # only reduce data we're about to crunch in one pass anyway.  raw
+    # count >= distinct count, so the one-task guard stays conservative.
+    mappings: list[DataFrame] = []
+    n_raw = raw.count()
+    if n_raw <= residual_threshold:
+        if n_raw > 0:
+            mappings.append(
+                materialize(
+                    _solve_single_task(
+                        raw.filter(F.col("a") != F.col("b")).select(
+                            F.col("a").alias("u"), F.col("b").alias("v")
+                        ),
+                        star_schema,
+                    )
+                )
+            )
+        return _compose_labels(nodes, mappings)
+
     e = materialize(
         raw.filter(F.col("a") != F.col("b"))
         .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
@@ -180,7 +202,6 @@ def connected_components(
 
     # mappings[i]: (node, root) star edges; roots of level i are the only
     # nodes of level i+1. Compose at the end.
-    mappings: list[DataFrame] = []
     for _ in range(max_levels):
         if n_edges == 0:
             break
@@ -217,7 +238,10 @@ def connected_components(
         n_edges = e.count()
     if n_edges > 0:
         mappings.append(_star_rounds(e, n_edges, max_iter))
+    return _compose_labels(nodes, mappings)
 
+
+def _compose_labels(nodes: DataFrame, mappings: list[DataFrame]) -> DataFrame:
     lab = nodes.select("node", F.col("node").alias("label"))
     for m in mappings:
         step = m.select(F.col("u").alias("label"), F.col("v").alias("next"))

