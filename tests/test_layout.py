@@ -1,0 +1,104 @@
+"""File-layout operators: compaction + clustered writes.
+
+The correctness claim is row-identity; the scale claim is the physical
+layout itself — file counts and per-file min/max disjointness — which
+we assert directly from the written objects' footers.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from dropbox_duckdb_playground_spark.operators.layout import (
+    clustered_write,
+    compact,
+    data_file_stats,
+)
+
+
+def _data_files(path: str) -> list[str]:
+    return [
+        p
+        for p in glob.glob(os.path.join(path, "*.parquet"))
+        if not os.path.basename(p).startswith(("_", "."))
+    ]
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    path = str(tmp_path / "shards")
+    df = spark.range(0, 10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("grp")
+    )
+    df.repartition(64).write.parquet(path)
+    assert len(_data_files(path)) == 64
+
+    res = compact(spark, path, target_file_mb=256)
+    assert res["compacted"] and res["files_before"] == 64
+    assert res["files_after"] == 1  # 10k rows << 256 MB
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.exceptAll(df).isEmpty()
+
+
+def test_compact_skips_when_no_gain(spark, tmp_path):
+    path = str(tmp_path / "one")
+    spark.range(0, 100).coalesce(1).write.parquet(path)
+    res = compact(spark, path, target_file_mb=256)
+    assert not res["compacted"] and res["files_after"] == res["files_before"]
+
+
+def test_data_file_stats_counts_only_data(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.range(0, 100).coalesce(2).write.parquet(path)
+    n, total = data_file_stats(spark, path)
+    assert n == 2 and total > 0
+
+
+def test_clustered_write_files_are_range_disjoint(spark, tmp_path):
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 50_000).select(
+        F.col("id"),
+        (F.xxhash64("id") % 1000).alias("k"),  # unordered cluster key
+    )
+    clustered_write(df, path, cluster_by=["k"], n_files=8)
+
+    files = _data_files(path)
+    assert len(files) == 8
+    # footer min/max per file: clustering must make key ranges
+    # (near-)disjoint so predicates skip whole files
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("k")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    overlaps = sum(
+        1 for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]) if hi1 > lo2
+    )
+    # rangepartitioning samples, so allow boundary ties but no broad overlap
+    assert overlaps == 0, f"file key ranges overlap: {ranges}"
+
+    back = spark.read.parquet(path)
+    assert back.count() == 50_000
+    assert back.exceptAll(df).isEmpty()
+
+
+def test_compact_sorted_variant_orders_within_files(spark, tmp_path):
+    path = str(tmp_path / "sorted")
+    spark.range(0, 20_000).select(
+        (F.xxhash64("id") % 97).alias("k"), F.col("id").alias("v")
+    ).repartition(16).write.parquet(path)
+    res = compact(spark, path, target_file_mb=256, sort_within=["k"])
+    assert res["compacted"]
+    f = _data_files(path)[0]
+    ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
+    assert ks == sorted(ks)
