@@ -220,3 +220,55 @@ def test_pil_decode_real_png(spark):
     assert (resized.width, resized.height) == (4, 3)
     redecoded = MM.pil_image_decode(bytes(resized.content))
     assert (redecoded["width"], redecoded["height"]) == (4, 3)
+
+
+def test_streaming_incremental_crawl_e2e(spark, tmp_path):
+    """End-to-end shape of the reference's etag re-crawl loop on
+    Structured Streaming: JSON batches land in a directory; each
+    availableNow pass merges new/updated records into the engine table
+    with keep-first (newest batch wins) semantics and re-snapshots.
+    Run 1 ingests the initial crawl; run 2 sees only the delta files
+    (checkpoint), and the merge keeps the update over the snapshot."""
+    from dropbox_duckdb_playground_spark.engine import Engine
+    from dropbox_duckdb_playground_spark.streaming.incremental import (
+        IncrementalCache,
+        incremental_file_stream,
+    )
+
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    eng = Engine(spark=spark, root=str(tmp_path / "store"))
+    cache = IncrementalCache(eng)
+
+    spark.createDataFrame(
+        [(1, "v1"), (2, "v1")], ["pkg", "payload"]
+    ).write.parquet(land)
+    schema = spark.read.parquet(land).schema
+
+    def ingest(batch_df, _epoch):
+        batches = [batch_df]
+        if "pkgs" in eng:
+            batches.append(eng.table("pkgs"))
+        merged = cache.merge_batches(batches, keys=["pkg"]).localCheckpoint()
+        eng.register("pkgs", merged)
+        eng.save("pkgs")
+        cache.snapshot("pkgs")
+
+    incremental_file_stream(spark, land, schema, ingest, ckpt).awaitTermination(60)
+    assert dict((r.pkg, r.payload) for r in eng.table("pkgs").collect()) == {
+        1: "v1",
+        2: "v1",
+    }
+
+    # delta crawl: pkg 2 updated (etag changed), pkg 3 new
+    spark.createDataFrame(
+        [(2, "v2"), (3, "v1")], ["pkg", "payload"]
+    ).write.mode("append").parquet(land)
+    incremental_file_stream(spark, land, schema, ingest, ckpt).awaitTermination(60)
+    assert dict((r.pkg, r.payload) for r in eng.table("pkgs").collect()) == {
+        1: "v1",
+        2: "v2",
+        3: "v1",
+    }
+    # snapshot matches the merged state for the next diff
+    assert cache.load("pkgs").count() == 3
