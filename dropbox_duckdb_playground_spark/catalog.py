@@ -53,9 +53,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # integer division: float /1000 loses precision at nanosecond
+            # magnitudes (~1e18) and shifts some values by 1 microsecond
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return df
     return spark.read.parquet(path)
 
@@ -1450,6 +1450,149 @@ def q43_flagship_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_type",
     )
     return redisgraph_link_header(ids)
+
+
+# ---------------------------------------------------------------------------
+# Time-series operators (beyond the reference): as-of join, banded range
+# join, multi-resolution rollup — operators/timeseries.py holds the
+# scale-shaped implementations; DuckDB's native ASOF JOIN / BETWEEN join
+# / GROUPING SETS are the oracles.
+
+
+@register(
+    "q44_asof_join",
+    oracle="""
+    WITH r AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+    l AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase')
+    SELECT l.event_id, l.user_id, CAST(l.ts AS VARCHAR) AS ts_s,
+           round(l.value, 2) AS purchase_value,
+           CAST(r.ts AS VARCHAR) AS click_ts_s,
+           round(r.click_value, 2) AS click_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+    tags="timeseries asof-join",
+)
+def q44_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest click at-or-before each purchase, per user — the as-of
+    join in its single-shuffle union-tag formulation (never an
+    inequality nested-loop join)."""
+    from dropbox_duckdb_playground_spark.operators.timeseries import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value"), "event_id"
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        by=["user_id"],
+        ts="ts",
+        payload=["click_value"],
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("string").alias("ts_s"),
+        F.round("value", 2).alias("purchase_value"),
+        F.col("ts_asof").cast("string").alias("click_ts_s"),
+        F.round("click_value_asof", 2).alias("click_value"),
+    )
+
+
+@register(
+    "q45_range_join",
+    oracle="""
+    SELECT s.event_id AS signup_id, e.event_id AS error_id, s.user_id,
+           CAST(e.ts AS VARCHAR) AS error_ts_s
+    FROM (SELECT event_id, user_id, ts,
+                 ts + INTERVAL '30 minutes' AS te
+          FROM events WHERE event_type = 'signup') s
+    JOIN (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'error') e
+      ON e.user_id = s.user_id AND e.ts >= s.ts AND e.ts <= s.te
+    """,
+    tags="timeseries range-join",
+)
+def q45_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors within 30 minutes after a signup of the same user — the
+    point-in-interval join via fixed time-band explode + hash equi-join
+    (each qualifying pair generated exactly once)."""
+    from dropbox_duckdb_playground_spark.operators.timeseries import range_join
+
+    e = load(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("ts_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ts_end"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    out = range_join(
+        errors,
+        signups,
+        by=["user_id"],
+        point_ts="ts",
+        start="ts_start",
+        end="ts_end",
+        band="30 minutes",
+    )
+    return out.select(
+        "signup_id",
+        "error_id",
+        "user_id",
+        F.col("ts").cast("string").alias("error_ts_s"),
+    )
+
+
+@register(
+    "q46_time_rollup",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', ts) AS bh, date_trunc('day', ts) AS bd,
+             event_type, value
+      FROM events)
+    SELECT CASE WHEN GROUPING(bh) = 0 THEN 'hour' ELSE 'day' END
+               AS resolution,
+           CAST(COALESCE(bh, bd) AS VARCHAR) AS bucket_s,
+           event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM b GROUP BY GROUPING SETS ((bh, event_type), (bd, event_type))
+    """,
+    tags="timeseries hypertable-rollup A1",
+)
+def q46_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly + daily continuous aggregates in ONE aggregation via
+    grouping sets (hypertable rollup shape; one exchange for all
+    resolutions)."""
+    from dropbox_duckdb_playground_spark.operators.timeseries import time_rollup
+
+    e = load(spark, sf_dir, "events")
+    out = time_rollup(
+        e,
+        ts="ts",
+        aggs=[
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        ],
+        resolutions=["hour", "day"],
+        keys=["event_type"],
+    )
+    return out.select(
+        "resolution",
+        F.col("bucket").cast("string").alias("bucket_s"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
 
 
 # ---------------------------------------------------------------------------

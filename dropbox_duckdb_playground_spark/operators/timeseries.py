@@ -1,0 +1,188 @@
+"""Time-series operators: as-of join, range (interval) join, and
+multi-resolution time rollup.
+
+The reference has no time-series surface; these are the operators a
+training-data/feature pipeline needs over event streams, implemented in
+the shapes that survive 100 TB:
+
+- :func:`asof_join` — the classic "latest right row at or before each
+  left row" join. NOT implemented as an inequality join (which Spark
+  would execute as a broadcast-nested-loop / cartesian): both streams
+  are unioned with a tag and resolved with one ``last(..., ignorenulls)``
+  running window per key — a single shuffle on the key, sort within
+  partitions, zero row multiplication.
+- :func:`range_join` — point-in-interval equi-reduction: intervals are
+  exploded onto fixed time bands and joined band-to-band, so each
+  candidate pair is generated exactly once and the planner runs a plain
+  hash join; band width trades explode factor vs selectivity.
+- :func:`time_rollup` — hypertable-style continuous aggregate at
+  several resolutions in ONE aggregation over grouping sets (map-side
+  partial aggs expand per-resolution; still one exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    ts: str,
+    payload: list[str],
+    tiebreak: str | None = None,
+    tolerance: str | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each left row, attach ``payload`` columns of the latest right
+    row with the same ``by`` keys and ``right.ts <= left.ts``.
+
+    Union-tag formulation: right rows sort before left rows at equal
+    ``ts`` (inclusive match, like DuckDB/kdb ASOF semantics); among
+    right ties on ``ts``, the greatest ``tiebreak`` wins
+    (deterministic). ``tolerance`` (an INTERVAL literal, e.g.
+    ``'1 hour'``) nulls out matches older than ``left.ts - tolerance``.
+
+    Output: all left columns + ``<ts><suffix>`` (matched right ts) +
+    ``<payload><suffix>`` columns. One shuffle on ``by``; scales like a
+    groupBy on the same key, with AQE handling key skew.
+    """
+    lcols = left.columns
+    tag = F.lit(1)
+    l_tagged = left.select(
+        *lcols,
+        tag.alias("__tag"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__p_{c}") for c in payload],
+        F.lit(None).cast(right.schema[ts].dataType).alias("__rts"),
+        (F.lit(None).cast(right.schema[tiebreak].dataType) if tiebreak else F.lit(0)).alias("__tb"),
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) if c not in by + [ts] else F.col(c) for c in lcols],
+        F.lit(0).alias("__tag"),
+        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        F.col(ts).alias("__rts"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts).asc(), F.col("__tag").asc(), F.col("__tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.select(
+        *lcols,
+        "__tag",
+        F.last("__rts", ignorenulls=True).over(w).alias(f"{ts}{suffix}"),
+        *[
+            F.last(f"__p_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in payload
+        ],
+    ).filter(F.col("__tag") == 1)
+    out_cols = [f"{ts}{suffix}"] + [f"{c}{suffix}" for c in payload]
+    if tolerance is not None:
+        keep: Column = F.col(f"{ts}{suffix}") >= F.col(ts) - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        matched = matched.select(
+            *lcols,
+            *[
+                F.when(keep, F.col(c)).otherwise(F.lit(None)).alias(c)
+                for c in out_cols
+            ],
+        )
+    else:
+        matched = matched.select(*lcols, *out_cols)
+    return matched
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    by: list[str],
+    point_ts: str,
+    start: str,
+    end: str,
+    band: str = "1 hour",
+) -> DataFrame:
+    """All (point, interval) pairs with equal ``by`` keys and
+    ``start <= point_ts <= end``, without a nested-loop join.
+
+    Each interval is exploded onto the fixed ``band`` grid it overlaps;
+    each point maps to exactly one band. The join is then a plain hash
+    equi-join on (by, band) + a residual BETWEEN filter, and every
+    qualifying pair appears exactly once (the point's single band is in
+    the interval's band list exactly once). Band width should be on the
+    order of typical interval length: wider bands = fewer exploded rows
+    but a less selective residual filter.
+
+    Returns points columns + interval columns (duplicate ``by`` columns
+    kept once).
+    """
+    sec = _interval_seconds(intervals, band)
+    p = points.withColumn(
+        "__band",
+        F.floor(F.unix_timestamp(F.col(point_ts)) / F.lit(sec)),
+    )
+    i = intervals.withColumn(
+        "__bands",
+        F.sequence(
+            F.floor(F.unix_timestamp(F.col(start)) / F.lit(sec)),
+            F.floor(F.unix_timestamp(F.col(end)) / F.lit(sec)),
+        ),
+    ).withColumn("__band", F.explode("__bands")).drop("__bands")
+    joined = p.join(i, on=by + ["__band"]).filter(
+        (F.col(point_ts) >= F.col(start)) & (F.col(point_ts) <= F.col(end))
+    )
+    return joined.drop("__band")
+
+
+def _interval_seconds(df: DataFrame, interval: str) -> int:
+    """Seconds in an INTERVAL literal, resolved through Catalyst so any
+    day-time interval syntax works."""
+    row = (
+        df.sparkSession.range(1)
+        .select(
+            (
+                F.unix_timestamp(
+                    F.expr(f"timestamp'2000-01-01 00:00:00' + INTERVAL {interval}")
+                )
+                - F.unix_timestamp(F.expr("timestamp'2000-01-01 00:00:00'"))
+            ).alias("s")
+        )
+        .head()
+    )
+    return int(row["s"])
+
+
+def time_rollup(
+    df: DataFrame,
+    ts: str,
+    aggs: list[Column],
+    resolutions: list[str] = ("hour", "day"),
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Hypertable-style continuous aggregate: the same measures at
+    several time resolutions in ONE aggregation.
+
+    Emits one row set per resolution via grouping sets over
+    ``date_trunc`` bucket columns — a single exchange whose map-side
+    partial aggregates already collapse to (resolution, bucket[, keys])
+    granularity. Output columns: ``resolution`` ('hour'/'day'/...),
+    ``bucket`` (the truncated timestamp), the ``keys``, then ``aggs``.
+    """
+    keys = keys or []
+    buckets = {r: F.date_trunc(r, F.col(ts)).alias(f"__b_{r}") for r in resolutions}
+    base = df.select(*keys, *buckets.values(), *[c for c in df.columns if c not in keys])
+    sets = [[f"__b_{r}", *keys] for r in resolutions]
+    grouped = base.groupingSets(sets, *[F.col(f"__b_{r}") for r in resolutions], *keys)
+    out = grouped.agg(*aggs)
+    res_col = F.coalesce(
+        *[
+            F.when(F.col(f"__b_{r}").isNotNull(), F.lit(r))
+            for r in resolutions
+        ]
+    ).alias("resolution")
+    bucket_col = F.coalesce(*[F.col(f"__b_{r}") for r in resolutions]).alias("bucket")
+    return out.select(res_col, bucket_col, *keys, *[c for c in out.columns if c.startswith("__b_") is False and c not in keys])

@@ -75,12 +75,17 @@ def audit_one(name: str, p: str, out_cols: list[str]) -> dict:
             # the TPC-ish comment columns, which nothing here consumes
             if wide == "_comment":
                 flags.append(f"overread:{wide}")
+    # formatted explain names each node twice (tree line + "(N) Op"
+    # detail header) — count detail headers for true node counts
+    def nodes(op: str) -> int:
+        return len(re.findall(rf"^\(\d+\) {op}", p, re.M))
+
     return {
         "flags": flags,
-        "shuffles": p.count("Exchange"),
-        "broadcasts": p.count("BroadcastExchange"),
+        "shuffles": nodes("Exchange"),
+        "broadcasts": nodes("BroadcastExchange"),
         "arrow_python": sum(
-            p.count(t)
+            nodes(t)
             for t in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
         ),
     }
