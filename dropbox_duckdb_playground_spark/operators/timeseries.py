@@ -35,20 +35,27 @@ def asof_join(
     tiebreak: str | None = None,
     tolerance: str | None = None,
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach ``payload`` columns of the latest right
-    row with the same ``by`` keys and ``right.ts <= left.ts``.
+    """For each left row, attach ``payload`` columns of the nearest
+    right row with the same ``by`` keys: the latest with
+    ``right.ts <= left.ts`` (``direction='backward'``, the default ASOF
+    semantics) or the earliest with ``right.ts >= left.ts``
+    (``direction='forward'``).
 
     Union-tag formulation: right rows sort before left rows at equal
     ``ts`` (inclusive match, like DuckDB/kdb ASOF semantics); among
     right ties on ``ts``, the greatest ``tiebreak`` wins
     (deterministic). ``tolerance`` (an INTERVAL literal, e.g.
-    ``'1 hour'``) nulls out matches older than ``left.ts - tolerance``.
+    ``'1 hour'``) nulls out matches farther than ``tolerance`` from
+    ``left.ts``.
 
     Output: all left columns + ``<ts><suffix>`` (matched right ts) +
     ``<payload><suffix>`` columns. One shuffle on ``by``; scales like a
     groupBy on the same key, with AQE handling key skew.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     lcols = left.columns
     tag = F.lit(1)
     l_tagged = left.select(
@@ -66,9 +73,13 @@ def asof_join(
         (F.col(tiebreak) if tiebreak else F.lit(0)).alias("__tb"),
     )
     u = l_tagged.unionByName(r_tagged)
+    # forward as-of is backward as-of on reversed time: iterate ts
+    # descending so the running last() sees the earliest following row;
+    # right rows still sort before left at equal ts (inclusive match)
+    ts_order = F.col(ts).asc() if direction == "backward" else F.col(ts).desc()
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col(ts).asc(), F.col("__tag").asc(), F.col("__tb").asc())
+        .orderBy(ts_order, F.col("__tag").asc(), F.col("__tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.select(
@@ -82,9 +93,14 @@ def asof_join(
     ).filter(F.col("__tag") == 1)
     out_cols = [f"{ts}{suffix}"] + [f"{c}{suffix}" for c in payload]
     if tolerance is not None:
-        keep: Column = F.col(f"{ts}{suffix}") >= F.col(ts) - F.expr(
-            f"INTERVAL {tolerance}"
-        )
+        if direction == "backward":
+            keep: Column = F.col(f"{ts}{suffix}") >= F.col(ts) - F.expr(
+                f"INTERVAL {tolerance}"
+            )
+        else:
+            keep = F.col(f"{ts}{suffix}") <= F.col(ts) + F.expr(
+                f"INTERVAL {tolerance}"
+            )
         matched = matched.select(
             *lcols,
             *[

@@ -143,3 +143,27 @@ def test_time_rollup_matches_separate_aggs(spark):
         .collect()
     }
     assert hourly == want_h and daily == want_d
+
+
+def test_asof_forward_earliest_following(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, by=["k"], ts="ts", payload=["p"], tiebreak="rid",
+        direction="forward",
+    )
+    got = {r.lid: (r.p_asof, r.ts_asof) for r in out.collect()}
+    assert got[1] == (1.0, _ts(10))    # equal ts still matches
+    assert got[2] == (9.0, _ts(31))    # earliest right AFTER lid=2
+    assert got[3] is not None
+    assert got[4] == (None, None)
+
+
+def test_asof_forward_tolerance(spark):
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, by=["k"], ts="ts", payload=["p"], tiebreak="rid",
+        direction="forward", tolerance="30 SECONDS",
+    )
+    got = {r.lid: r.p_asof for r in out.collect()}
+    assert got[1] == 1.0   # equal ts within any tolerance
+    assert got[2] is None  # next right is 1 min later > 30s
