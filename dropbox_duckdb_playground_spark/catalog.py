@@ -1596,6 +1596,112 @@ def q46_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-corpus curation: dedup survivors, benchmark decontamination,
+# and the salted skew join — the "apply" half of the dedup/quality
+# operators above, as a corpus-curation pipeline would call them.
+
+
+@register(
+    "q47_neardup_survivors",
+    oracle=f"""
+    WITH {DOC_CLUSTER_CTES}
+    SELECT cluster_id, min(node_id) AS doc_id,
+           count(*) - 1 AS n_absorbed
+    FROM doc_labels GROUP BY cluster_id
+    """,
+    tags="dedup-pipeline E7 corpus-curation",
+)
+def q47_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus AFTER fuzzy dedup: jaccard near-dup edges → connected
+    components → one survivor per cluster (min doc_id) with the count
+    of documents it absorbed. q34 labels every doc; this is the
+    downstream 'remove' step a training pipeline actually ships."""
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingles(d, n=3)
+    pairs = D.ngram_jaccard_pairs(sh, threshold=0.2)
+    return D.neardup_survivors(d, pairs).select(
+        "cluster_id", "doc_id", "n_absorbed"
+    )
+
+
+@register(
+    "q48_contamination",
+    oracle="""
+    WITH toks AS (SELECT doc_id, trim(text) AS t FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(t, '\\s+'), 1) AS pos
+      FROM toks),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   AS shingle
+        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      WHERE shingle IS NOT NULL),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+    hits AS (
+      SELECT t.doc_id, count(*) AS n_shingles,
+             count(b.shingle) AS n_contaminated
+      FROM train t LEFT JOIN bench b ON t.shingle = b.shingle
+      GROUP BY t.doc_id)
+    SELECT doc_id, n_shingles, n_contaminated,
+           round(n_contaminated * 1.0 / n_shingles, 4) AS contamination
+    FROM hits
+    """,
+    tags="corpus-curation decontamination",
+)
+def q48_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 50th document plays the eval
+    set; each remaining training doc is scored by the fraction of its
+    3-gram shingles that collide with the benchmark. The benchmark
+    shingle set is broadcast (eval sets are MBs against a 100 TB
+    corpus)."""
+    from dropbox_duckdb_playground_spark.materialize import materialize
+
+    d = load(spark, sf_dir, "documents")
+    sh = materialize(D.shingles(d, n=3))
+    bench = sh.filter(F.col("doc_id") % 50 == 0)
+    train = sh.filter(F.col("doc_id") % 50 != 0)
+    return D.contamination_check(train, bench)
+
+
+@register(
+    "q49_skew_join",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type, round(avg(value), 4) AS type_avg
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           round(e.value - d.type_avg, 4) AS value_delta
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    """,
+    tags="skew salted-join J1",
+)
+def q49_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich a fact table over a pathologically skewed key (5 distinct
+    event types across the whole events table) through the explicit
+    salted join: the hot keys spread over 16 sub-keys so no single task
+    owns an entire key's rows — the pattern for when AQE skew handling
+    can't re-plan (see operators/relational.salted_join)."""
+    from dropbox_duckdb_playground_spark.operators.relational import salted_join
+
+    e = load(spark, sf_dir, "events")
+    dim = e.groupBy("event_type").agg(
+        F.round(F.avg("value"), 4).alias("type_avg")
+    )
+    out = salted_join(
+        e.select("event_id", "event_type", "value"), dim, on=["event_type"]
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") - F.col("type_avg"), 4).alias("value_delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
 

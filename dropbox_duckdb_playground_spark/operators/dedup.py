@@ -255,3 +255,74 @@ def hamming_neardup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def neardup_survivors(
+    docs: DataFrame, pairs: DataFrame, key: str = "doc_id"
+) -> DataFrame:
+    """Corpus after near-duplicate removal — the "remove" half of a
+    fuzzy-dedup pass (reference keeps only pair mining + clustering;
+    training pipelines need the surviving document set).
+
+    ``pairs`` is any (a_id, b_id) near-dup edge set (LSH, Jaccard,
+    Hamming). Edges go through connected components so transitive
+    duplicates collapse into one cluster; the survivor is min(key) per
+    cluster and ``n_absorbed`` counts the documents it replaced.
+    Untouched documents pass through as their own singleton cluster.
+
+    Scale: CC runs on the matched-pair edge set only (tiny vs the
+    corpus); the corpus itself is touched by one left join + one
+    groupBy on the cluster label.
+    """
+    from dropbox_duckdb_playground_spark.operators.components import (
+        connected_components,
+    )
+
+    labels = connected_components(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    labeled = docs.select(key).join(
+        labels, docs[key] == labels["node_id"], "left"
+    ).select(
+        F.col(key), F.coalesce("cluster_id", F.col(key)).alias("cluster_id")
+    )
+    return labeled.groupBy("cluster_id").agg(
+        F.min(key).alias(key), (F.count("*") - F.lit(1)).alias("n_absorbed")
+    )
+
+
+def contamination_check(
+    train_shingles: DataFrame,
+    bench_shingles: DataFrame,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination scan: for every training document, the
+    fraction of its distinct n-gram shingles that also occur anywhere in
+    a benchmark/eval set (the standard n-gram-overlap decontamination
+    check run before LLM training).
+
+    Inputs are two ``shingles()`` outputs. Output: (key, n_shingles,
+    n_contaminated, contamination) with the ratio rounded to 4 places.
+
+    Scale: the benchmark side collapses to DISTINCT shingles and is
+    broadcast — eval sets are tiny (MBs) against a 100 TB corpus, so
+    the scan of the training side stays shuffle-free; the only exchange
+    is the per-doc count aggregation.
+    """
+    from pyspark.sql.functions import broadcast
+
+    bench = broadcast(bench_shingles.select("shingle").distinct())
+    per_doc = train_shingles.join(
+        bench.withColumn("__hit", F.lit(1)), on="shingle", how="left"
+    ).groupBy(key).agg(
+        F.count("*").alias("n_shingles"),
+        F.count("__hit").alias("n_contaminated"),
+    )
+    return per_doc.select(
+        F.col(key),
+        "n_shingles",
+        "n_contaminated",
+        F.round(F.col("n_contaminated") / F.col("n_shingles"), 4).alias(
+            "contamination"
+        ),
+    )

@@ -164,3 +164,42 @@ def test_winnow_fingerprints_shared_for_common_run(spark):
     assert not (fps[1] & fps[3])
     # fingerprint count is a small fraction of gram count (winnowed)
     assert len(fps[1]) < 10
+
+
+def test_neardup_survivors_transitive(spark):
+    # edges 1-2, 2-3 form one cluster; 4 has no edge -> singleton
+    docs = _docs(
+        spark, [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+    ).select("doc_id")
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["a_id", "b_id"])
+    out = {
+        (r.cluster_id, r.doc_id, r.n_absorbed)
+        for r in D.neardup_survivors(docs, pairs).collect()
+    }
+    assert out == {(1, 1, 2), (4, 4, 0)}
+
+
+def test_neardup_survivors_no_pairs(spark):
+    docs = _docs(spark, [(1, "a"), (2, "b")]).select("doc_id")
+    pairs = spark.createDataFrame([], "a_id long, b_id long")
+    out = {
+        (r.doc_id, r.n_absorbed)
+        for r in D.neardup_survivors(docs, pairs).collect()
+    }
+    assert out == {(1, 0), (2, 0)}
+
+
+def test_contamination_check(spark):
+    train = _docs(
+        spark,
+        [(1, "a b c d"), (2, "x y z w")],  # shingles: {abc,bcd}, {xyz,yzw}
+    )
+    bench = _docs(spark, [(100, "a b c z")])  # shingles: {abc, bcz}
+    out = {
+        (r.doc_id, r.n_shingles, r.n_contaminated, float(r.contamination))
+        for r in D.contamination_check(
+            D.shingles(train, n=3), D.shingles(bench, n=3)
+        ).collect()
+    }
+    # doc 1 shares 'a b c' with the benchmark; doc 2 shares nothing
+    assert out == {(1, 2, 1, 0.5), (2, 2, 0, 0.0)}
