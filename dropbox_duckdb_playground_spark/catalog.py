@@ -1701,6 +1701,46 @@ def q49_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q50_repetition",
+    oracle="""
+    WITH toks AS (SELECT doc_id, trim(text) AS t FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(t, '\\s+'), 1) AS pos
+      FROM toks),
+    uni_c AS (
+      SELECT doc_id, tok, count(*) AS c FROM pos GROUP BY 1, 2),
+    uni AS (
+      SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_uni
+      FROM uni_c GROUP BY doc_id),
+    big AS (
+      SELECT doc_id, tok || ' ' || lead(tok, 1) OVER w AS g
+      FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    bi_c AS (
+      SELECT doc_id, g, count(*) AS c FROM big
+      WHERE g IS NOT NULL GROUP BY 1, 2),
+    bi AS (
+      SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bi,
+             sum(CASE WHEN c > 1 THEN c END) AS dup_bi
+      FROM bi_c GROUP BY doc_id)
+    SELECT u.doc_id, u.n_tokens,
+           round(u.top_uni * 1.0 / u.n_tokens, 4) AS top_unigram_frac,
+           round(COALESCE(b.top_bi * 1.0 / b.n_bigrams, 0), 4)
+               AS top_bigram_frac,
+           round(COALESCE(b.dup_bi * 1.0 / b.n_bigrams, 0), 4)
+               AS dup_bigram_frac
+    FROM uni u LEFT JOIN bi b ON u.doc_id = b.doc_id
+    """,
+    tags="corpus-curation quality-repetition",
+)
+def q50_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter signals: top-unigram, top-bigram
+    and duplicate-bigram fractions per document (see
+    operators/text.repetition_stats)."""
+    return TX.repetition_stats(load(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 

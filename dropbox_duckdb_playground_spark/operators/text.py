@@ -234,3 +234,67 @@ def lang_id_predict(
         .filter(F.col("__rn__") == 1)
         .select(F.col(key), F.col("cand_lang").alias("pred_lang"), F.col("overlap"))
     )
+
+
+def repetition_stats(
+    df: DataFrame, text: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``top_unigram_frac`` — fraction of token positions held by the
+      single most frequent token,
+    - ``top_bigram_frac`` — fraction of bigram positions held by the
+      most frequent bigram,
+    - ``dup_bigram_frac`` — fraction of bigram positions whose bigram
+      occurs more than once.
+
+    These are the public repetition-filter rules used to drop
+    boilerplate/spam from LLM training corpora (thresholding is caller
+    policy). Only counts are emitted — never the winning n-gram — so
+    ties cannot make the output nondeterministic.
+
+    Scale: two explode→partial-agg pipelines whose shuffles carry
+    (key, gram, count) — map-side combine collapses repeats, so bytes
+    shuffled are bounded by distinct grams per doc, not corpus size.
+    """
+    norm = F.regexp_replace(F.trim(F.col(text)), r"\s+", " ")
+    uni = (
+        df.select(F.col(key), F.explode(F.split(norm, " ")).alias("g"))
+        .groupBy(key, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(key)
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_uni"),
+        )
+    )
+    bigram_pat = r"(?<![^ ])(?=(\S+ \S+))"
+    bi = (
+        df.select(
+            F.col(key),
+            F.explode(
+                F.regexp_extract_all(norm, F.lit(bigram_pat), 1)
+            ).alias("g"),
+        )
+        .groupBy(key, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(key)
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.max("c").alias("top_bi"),
+            F.sum(F.when(F.col("c") > 1, F.col("c"))).alias("dup_bi"),
+        )
+    )
+    return uni.join(bi, on=key, how="left").select(
+        F.col(key),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("top_uni") / F.col("n_tokens"), 4).alias(
+            "top_unigram_frac"
+        ),
+        F.round(
+            F.coalesce(F.col("top_bi") / F.col("n_bigrams"), F.lit(0.0)), 4
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.coalesce(F.col("dup_bi") / F.col("n_bigrams"), F.lit(0.0)), 4
+        ).alias("dup_bigram_frac"),
+    )

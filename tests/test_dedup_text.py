@@ -203,3 +203,23 @@ def test_contamination_check(spark):
     }
     # doc 1 shares 'a b c' with the benchmark; doc 2 shares nothing
     assert out == {(1, 2, 1, 0.5), (2, 2, 0, 0.0)}
+
+
+def test_repetition_stats(spark):
+    df = _docs(spark, [(1, "a a a b"), (2, "x y")])
+    out = {
+        (
+            r.doc_id,
+            r.n_tokens,
+            float(r.top_unigram_frac),
+            float(r.top_bigram_frac),
+            float(r.dup_bigram_frac),
+        )
+        for r in TX.repetition_stats(df).collect()
+    }
+    # doc 1: tokens {a:3, b:1}; bigrams {'a a':2, 'a b':1} -> top 2/3, dup 2/3
+    # doc 2: unique everything
+    assert out == {
+        (1, 4, 0.75, round(2 / 3, 4), round(2 / 3, 4)),
+        (2, 2, 0.5, 1.0, 0.0),
+    }
