@@ -68,7 +68,18 @@ class Engine:
     # -- registry ----------------------------------------------------------
     def register(self, obj_id: str, source: DataFrame | str) -> DataFrame:
         if isinstance(source, str):
-            df = self.spark.read.parquet(source)
+            # format by extension: .csv / .json interchange inputs,
+            # parquet otherwise (schema inference on text formats is a
+            # one-time sample scan at registration, not per query)
+            stripped = source.rstrip("/")
+            if stripped.endswith(".csv"):
+                df = self.spark.read.option("header", "true").option(
+                    "inferSchema", "true"
+                ).csv(source)
+            elif stripped.endswith(".json"):
+                df = self.spark.read.json(source)
+            else:
+                df = self.spark.read.parquet(source)
         else:
             df = source
         self._tables[obj_id] = df
@@ -116,12 +127,12 @@ class Engine:
         return self.spark.sql(translate(query))
 
     # -- persistence -------------------------------------------------------
-    def _path(self, obj_id: str, path: str | None) -> str:
+    def _path(self, obj_id: str, path: str | None, fmt: str = "parquet") -> str:
         if path is not None:
             return path
         if self.root is None:
             raise ValueError("Engine.root not set and no explicit path given")
-        return _join(self.root, obj_id + ".parquet")
+        return _join(self.root, f"{obj_id}.{fmt}")
 
     def save(
         self,
@@ -131,15 +142,32 @@ class Engine:
         partition_by: list[str] | None = None,
         bucket_by: list[str] | None = None,
         n_buckets: int = 8,
+        fmt: str = "parquet",
     ) -> str:
-        """Materialize an object id as a Parquet directory.
+        """Materialize an object id — Parquet by default, or ``fmt`` in
+        {"parquet", "csv", "json"} for interchange sinks (csv writes a
+        header; json writes JSON-lines). Only Parquet round-trips the
+        full type system, so non-parquet saves are export-only: the
+        registered object keeps its original (typed) plan.
 
         ``bucket_by`` writes a bucketed (and in-bucket sorted) table via
         the session catalog: two tables bucketed on their join key with
         the same bucket count join with NO shuffle on either side — the
         co-located-join layout for repeatedly-joined 100 TB facts."""
-        out = self._path(obj_id, path)
+        if fmt not in ("parquet", "csv", "json"):
+            raise ValueError(f"unsupported save format: {fmt!r}")
+        out = self._path(obj_id, path, fmt)
         writer = self.table(obj_id).write.mode(mode)
+        if fmt != "parquet":
+            if bucket_by:
+                raise ValueError("bucket_by requires parquet")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            if fmt == "csv":
+                writer.option("header", "true").csv(out)
+            else:
+                writer.json(out)
+            return out
         if bucket_by:
             writer = (
                 writer.bucketBy(n_buckets, *bucket_by)
