@@ -1742,6 +1742,227 @@ def q50_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Classic TPC-H join shapes (Q3 / Q5 / Q10) — the canonical multi-way
+# star-join aggregations every OLAP engine is judged on; dims broadcast,
+# facts shuffle on join keys only.
+
+
+@register(
+    "q51_tpch_q3",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS VARCHAR) AS orderdate_s,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    """,
+    tags="tpch J1 A1 olap",
+)
+def q51_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): segment-filtered customers ×
+    pre-cutoff orders × post-cutoff lineitems. Both filters sit on the
+    scans (pushdown), the customer side is semi-join-shaped so only
+    (c_custkey) reaches the orders shuffle."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"], "left_semi")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("string").alias("orderdate_s"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "q52_tpch_q5",
+    oracle="""
+    SELECT n.n_name,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    tags="tpch J1 J2 A1 olap",
+)
+def q52_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): six-table star join where the
+    local-supplier condition (c_nationkey = s_nationkey) rides the
+    supplier join. supplier/nation/region broadcast; only the
+    fact-to-fact joins (lineitem-orders-customer) shuffle."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    asian_nations = F.broadcast(
+        n.join(r, n["n_regionkey"] == r["r_regionkey"]).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    sup = F.broadcast(
+        s.join(asian_nations, s["s_nationkey"] == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            sup,
+            (l["l_suppkey"] == sup["s_suppkey"])
+            & (c["c_nationkey"] == sup["s_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
+        )
+    )
+
+
+@register(
+    "q53_tpch_q10",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+           round(c.c_acctbal, 2) AS acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    """,
+    tags="tpch J1 A1 olap",
+)
+def q53_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): one-quarter window of
+    orders × returned lineitems, grouped per customer with the nation
+    dim broadcast."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    n = F.broadcast(load(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+        )
+    )
+
+
+@register(
+    "q54_table_stats",
+    oracle="""
+    SELECT 'l_returnflag' AS col, count(*) AS n_rows,
+           sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           count(DISTINCT l_returnflag) AS ndv,
+           min(CAST(l_returnflag AS VARCHAR)) AS min_s,
+           max(CAST(l_returnflag AS VARCHAR)) AS max_s
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', count(*),
+           sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT l_linestatus),
+           min(CAST(l_linestatus AS VARCHAR)),
+           max(CAST(l_linestatus AS VARCHAR))
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_quantity', count(*),
+           sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT l_quantity),
+           min(CAST(l_quantity AS VARCHAR)),
+           max(CAST(l_quantity AS VARCHAR))
+    FROM lineitem
+    """,
+    tags="profiling A1 V3",
+)
+def q54_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass column profile of lineitem (long format:
+    one row per column). Exact NDV here for the oracle; at 100 TB use
+    profile_columns(exact_ndv=False) — HLL sketches instead of the
+    row-multiplying Expand (see operators/relational.profile_columns)."""
+    from dropbox_duckdb_playground_spark.operators.relational import (
+        profile_columns,
+    )
+
+    l = load(spark, sf_dir, "lineitem")
+    return profile_columns(
+        l, ["l_returnflag", "l_linestatus", "l_quantity"], exact_ndv=True
+    )
+
+
+# ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
 

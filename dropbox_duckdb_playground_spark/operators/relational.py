@@ -186,3 +186,44 @@ def rename(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
     Pure metadata — no expression evaluation, plans identically to
     ``SELECT * `` with aliases."""
     return df.withColumnsRenamed(mapping)
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str], exact_ndv: bool = True
+) -> DataFrame:
+    """One-pass column profile in long format: (col, n_rows, n_nulls,
+    ndv, min_s, max_s) per requested column — the ANALYZE-style stats
+    a planner (or a data-quality gate) wants before a big job.
+
+    ``exact_ndv=False`` swaps count(distinct) for HyperLogLog
+    approx_count_distinct — the 100 TB default: exact multi-column
+    distinct goes through Spark's Expand operator, which multiplies
+    shuffled rows by the number of profiled columns, while the HLL
+    sketch keeps one constant-size state per column.
+    """
+    ndv = (
+        (lambda c: F.countDistinct(F.col(c)))
+        if exact_ndv
+        else (lambda c: F.approx_count_distinct(F.col(c)))
+    )
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            ndv(c).alias(f"__ndv_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    per_col = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col(f"__nn_{c}").cast("long").alias("n_nulls"),
+            F.col(f"__ndv_{c}").cast("long").alias("ndv"),
+            F.col(f"__min_{c}").alias("min_s"),
+            F.col(f"__max_{c}").alias("max_s"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*per_col)).alias("p")).select("p.*")

@@ -61,3 +61,24 @@ def test_union_distinct(spark):
     a = spark.createDataFrame([(1,), (2,)], ["x"])
     b = spark.createDataFrame([(2,), (3,)], ["x"])
     assert {r.x for r in union_distinct([a, b]).collect()} == {1, 2, 3}
+
+
+def test_profile_columns(spark):
+    from dropbox_duckdb_playground_spark.operators.relational import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "c")], ["k", "v"]
+    )
+    out = {
+        (r.col, r.n_rows, r.n_nulls, r.ndv, r.min_s, r.max_s)
+        for r in profile_columns(df, ["k", "v"]).collect()
+    }
+    assert out == {
+        ("k", 3, 0, 2, "1", "2"),
+        ("v", 3, 1, 2, "a", "c"),
+    }
+    # HLL path keeps the same shape (values approximate)
+    approx = profile_columns(df, ["k"], exact_ndv=False).collect()
+    assert len(approx) == 1 and approx[0].n_rows == 3
