@@ -102,3 +102,36 @@ def test_compact_sorted_variant_orders_within_files(spark, tmp_path):
     f = _data_files(path)[0]
     ks = pq.read_table(f, columns=["k"]).column("k").to_pylist()
     assert ks == sorted(ks)
+
+
+def test_zorder_write_narrows_both_dims(spark, tmp_path):
+    from dropbox_duckdb_playground_spark.operators.layout import zorder_write
+
+    path = str(tmp_path / "zed")
+    # 64x64 grid: every (a, b) combination once
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("a"),
+        (F.floor(F.col("id") / 64)).alias("b"),
+        F.col("id").alias("payload"),
+    )
+    zorder_write(df, path, cluster_by=["a", "b"], n_files=16, bits=6)
+
+    files = _data_files(path)
+    assert 2 <= len(files) <= 16
+    # row identity
+    again = spark.read.parquet(path)
+    assert again.count() == 4096
+    assert again.select(F.sum("payload")).first()[0] == 4096 * 4095 // 2
+    # the z-order property: EVERY file covers a narrow range of BOTH
+    # dims (a pure sort on `a` would leave b spanning 0..63 in every
+    # file). Allow slack for quantile-boundary rows.
+    for f in files:
+        md = pq.read_metadata(f)
+        for ci, col in ((0, "a"), (1, "b")):
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            span = max(maxs) - min(mins)
+            assert span <= 40, f"{f} {col} span {span}"
