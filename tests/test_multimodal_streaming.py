@@ -328,3 +328,46 @@ def test_interval_join_stream_stream(spark, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_stream_static_contamination(spark, tmp_path):
+    """Stream-static broadcast join: a document stream scored against a
+    static benchmark shingle set — the streaming form of the q48
+    decontamination scan. The static side re-resolves per micro-batch
+    and joins broadcast, so the streaming plan stays stateless."""
+    from pyspark.sql import functions as F
+
+    from dropbox_duckdb_playground_spark.operators.dedup import (
+        contamination_check,
+        shingles,
+    )
+
+    src = str(tmp_path / "doc_stream")
+    spark.createDataFrame(
+        [(1, "a b c d"), (2, "x y z w")], ["doc_id", "text"]
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    bench = shingles(
+        spark.createDataFrame([(100, "a b c z")], ["doc_id", "text"]), n=3
+    )
+
+    got: list[tuple] = []
+
+    def score_batch(df, epoch_id):
+        out = contamination_check(shingles(df, n=3), bench)
+        got.extend(
+            (r.doc_id, r.n_contaminated, float(r.contamination))
+            for r in out.collect()
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .writeStream.foreachBatch(score_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_c"))
+        .start()
+    )
+    q.awaitTermination(60)
+    assert sorted(got) == [(1, 1, 0.5), (2, 0, 0.0)]
