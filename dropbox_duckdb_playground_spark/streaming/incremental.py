@@ -84,3 +84,67 @@ def incremental_file_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# -- C5 (beyond the reference): incremental aggregate maintenance ----------
+
+#: aggregate name -> (state columns from raw rows, merge of state rows,
+#: finalize). Algebraic aggregates only — their partial states merge
+#: without revisiting history.
+_ALGEBRAIC = ("sum", "count", "min", "max", "avg")
+
+
+def incremental_agg_state(
+    df: DataFrame, keys: list[str], value: str, fns: list[str]
+) -> DataFrame:
+    """Partial-aggregate state of ``df``: per ``keys``, one row holding
+    the mergeable state for each requested aggregate of ``value``
+    (sum/count/min/max; avg rides on sum+count)."""
+    from pyspark.sql import functions as F
+
+    bad = [f for f in fns if f not in _ALGEBRAIC]
+    if bad:
+        raise ValueError(
+            f"non-algebraic aggregates {bad}; incremental maintenance "
+            "needs mergeable state (holistic aggs like median need a "
+            "full recompute or a sketch)"
+        )
+    aggs = [
+        F.sum(value).alias("__s_sum"),
+        F.count(value).alias("__s_cnt"),
+        F.min(value).alias("__s_min"),
+        F.max(value).alias("__s_max"),
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def merge_agg_states(states: list[DataFrame], keys: list[str]) -> DataFrame:
+    """Merge partial-aggregate states (outputs of
+    :func:`incremental_agg_state`) — one aggregation over the unioned
+    state rows, never over raw history. At 100 TB the state table is
+    keys-cardinality-sized; the new batch is the only raw data read."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    u = reduce(lambda a, b: a.unionByName(b), states)
+    return u.groupBy(*keys).agg(
+        F.sum("__s_sum").alias("__s_sum"),
+        F.sum("__s_cnt").alias("__s_cnt"),
+        F.min("__s_min").alias("__s_min"),
+        F.max("__s_max").alias("__s_max"),
+    )
+
+
+def finalize_agg(state: DataFrame, keys: list[str], fns: list[str]) -> DataFrame:
+    """Render final aggregate values from a state table."""
+    from pyspark.sql import functions as F
+
+    out = {
+        "sum": F.col("__s_sum").alias("sum"),
+        "count": F.col("__s_cnt").alias("count"),
+        "min": F.col("__s_min").alias("min"),
+        "max": F.col("__s_max").alias("max"),
+        "avg": (F.col("__s_sum") / F.col("__s_cnt")).alias("avg"),
+    }
+    return state.select(*keys, *[out[f] for f in fns])

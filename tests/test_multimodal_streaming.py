@@ -371,3 +371,49 @@ def test_stream_static_contamination(spark, tmp_path):
     )
     q.awaitTermination(60)
     assert sorted(got) == [(1, 1, 0.5), (2, 0, 0.0)]
+
+
+def test_incremental_agg_equals_full_recompute(spark):
+    """Differential: maintaining sum/count/min/max/avg by merging
+    partial states over three batches == one aggregation over all rows."""
+    from pyspark.sql import functions as F
+
+    from dropbox_duckdb_playground_spark.plans.pipeline import (
+        assert_frames_equal,
+    )
+    from dropbox_duckdb_playground_spark.streaming.incremental import (
+        finalize_agg,
+        incremental_agg_state,
+        merge_agg_states,
+    )
+
+    batches = [
+        spark.createDataFrame(rows, ["k", "v"])
+        for rows in (
+            [(1, 10.0), (2, 5.0), (1, 3.0)],
+            [(2, -1.0), (3, 7.0)],
+            [(1, 100.0)],
+        )
+    ]
+    fns = ["sum", "count", "min", "max", "avg"]
+    state = incremental_agg_state(batches[0], ["k"], "v", fns)
+    for b in batches[1:]:
+        state = merge_agg_states(
+            [state, incremental_agg_state(b, ["k"], "v", fns)], ["k"]
+        )
+    inc = finalize_agg(state, ["k"], fns)
+
+    full = batches[0].unionByName(batches[1]).unionByName(batches[2])
+    expected = full.groupBy("k").agg(
+        F.sum("v").alias("sum"),
+        F.count("v").alias("count"),
+        F.min("v").alias("min"),
+        F.max("v").alias("max"),
+        F.avg("v").alias("avg"),
+    )
+    assert_frames_equal(inc, expected)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        incremental_agg_state(batches[0], ["k"], "v", ["median"])
