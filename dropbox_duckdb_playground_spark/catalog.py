@@ -1963,6 +1963,98 @@ def q54_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# OLAP surface completion: CUBE (rollup q30 / grouping-sets q46 are the
+# other two of the trio), correlated scalar subquery (decorrelation),
+# and exact holistic aggregation (median) per group.
+
+
+@register(
+    "q55_event_cube",
+    oracle="""
+    SELECT COALESCE(event_type, '<all>') AS event_type,
+           COALESCE(CAST(cohort AS VARCHAR), '<all>') AS cohort,
+           count(*) AS n, round(sum(value), 2) AS sum_value
+    FROM (SELECT event_type, user_id % 10 AS cohort, value FROM events)
+    GROUP BY CUBE (event_type, cohort)
+    """,
+    tags="A1 cube olap",
+)
+def q55_event_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (event_type, user cohort): all four grouping
+    combinations in ONE aggregation (one exchange; Expand feeds the
+    partial agg so map-side combine still applies)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 10).cast("string").alias("cohort"),
+        "value",
+    )
+    return (
+        e.cube("event_type", "cohort")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("cohort", F.lit("<all>")).alias("cohort"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q56_above_cust_avg",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 2) AS price
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+        SELECT avg(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_custkey = o.o_custkey)
+    """,
+    tags="J4 A1 correlated-subquery olap",
+)
+def q56_above_cust_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders 1.5x above their customer's average — the correlated
+    scalar subquery, expressed as its decorrelated form (one window
+    partial over o_custkey; no per-row re-scan, which is what Catalyst
+    rewrites the subquery to anyway)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("__cust_avg", F.avg("o_totalprice").over(w))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("__cust_avg"))
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("price")
+        )
+    )
+
+
+@register(
+    "q57_group_median",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    tags="A1 holistic-agg olap",
+)
+def q57_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median / p90 (holistic aggregates — the ones
+    incremental maintenance can't merge). Exact `percentile` here for
+    the oracle; at 100 TB use approx_percentile (t-digest sketch,
+    mergeable, constant state)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias(
+            "p90_price"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
 
