@@ -188,3 +188,50 @@ def zorder_write(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+) -> dict:
+    """MERGE-shape upsert into a Parquet directory: rows in ``updates``
+    replace same-key rows in the table, new keys are inserted, all other
+    rows carry over. Stages into ``<path>__merge`` and swaps via
+    FileSystem rename — same (non-transactional) swap caveat as
+    :func:`compact`; a commit-log table format is the transactional
+    upgrade path.
+
+    Scale: one anti-join of the table against the (typically small,
+    broadcast-able) update set — history is rewritten but never
+    re-shuffled on a key, and the update set never grows with table
+    size. Returns {"inserted", "updated", "total"}.
+    """
+    from pyspark.sql import functions as F
+
+    fs, jpath = _fs_and_path(spark, path)
+    if not fs.exists(jpath):
+        updates.write.parquet(path)
+        n = updates.count()
+        return {"inserted": n, "updated": 0, "total": n}
+
+    target = spark.read.parquet(path)
+    kept = target.join(updates.select(*keys), on=keys, how="left_anti")
+    merged = kept.unionByName(updates)
+
+    staging = path.rstrip("/") + "__merge"
+    merged.write.mode("overwrite").parquet(staging)
+    # counts BEFORE the swap: `target`/`kept` are lazy plans over `path`
+    # and would silently re-scan the merged data afterwards
+    n_target = target.count()
+    n_kept = kept.count()
+    n_updates = updates.count()
+    _, jstaging = _fs_and_path(spark, staging)
+    fs.delete(jpath, True)
+    fs.rename(jstaging, jpath)
+    return {
+        "inserted": n_updates - (n_target - n_kept),
+        "updated": n_target - n_kept,
+        "total": n_kept + n_updates,
+    }

@@ -135,3 +135,29 @@ def test_zorder_write_narrows_both_dims(spark, tmp_path):
                 maxs.append(st.max)
             span = max(maxs) - min(mins)
             assert span <= 40, f"{f} {col} span {span}"
+
+
+def test_merge_upsert(spark, tmp_path):
+    from dropbox_duckdb_playground_spark.operators.layout import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "name", "v"]
+    )
+    # first merge into a missing table = plain insert
+    res = merge_upsert(spark, path, base, keys=["k"])
+    assert res == {"inserted": 3, "updated": 0, "total": 3}
+
+    updates = spark.createDataFrame(
+        [(2, "B", 99), (4, "d", 40)], ["k", "name", "v"]
+    )
+    res = merge_upsert(spark, path, updates, keys=["k"])
+    assert res == {"inserted": 1, "updated": 1, "total": 4}
+    got = sorted(
+        (r.k, r.name, r.v) for r in spark.read.parquet(path).collect()
+    )
+    assert got == [(1, "a", 10), (2, "B", 99), (3, "c", 30), (4, "d", 40)]
+    # staging dir must not linger
+    import os
+
+    assert not os.path.exists(path + "__merge")
