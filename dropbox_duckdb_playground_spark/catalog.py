@@ -2055,6 +2055,98 @@ def q57_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Warehouse maintenance patterns: SCD2 history build + snapshot CDC diff.
+
+
+@register(
+    "q58_scd2_history",
+    oracle="""
+    SELECT event_id, user_id, event_type AS state,
+           CAST(ts AS VARCHAR) AS valid_from_s,
+           CAST(lead(ts) OVER w AS VARCHAR) AS valid_to_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags="timeseries scd2 W1",
+)
+def q58_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 validity intervals from the event change log: each user
+    event holds until the user's next event (NULL = current). One
+    keys-partitioned window; no global sort."""
+    from dropbox_duckdb_playground_spark.operators.timeseries import scd2_history
+
+    e = load(spark, sf_dir, "events")
+    out = scd2_history(e, keys=["user_id"], ts="ts", tiebreak="event_id")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("valid_from").cast("string").alias("valid_from_s"),
+        F.col("valid_to").cast("string").alias("valid_to_s"),
+    )
+
+
+@register(
+    "q59_snapshot_cdc",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus AS status,
+             CAST(round(CAST(o_totalprice AS DECIMAL(18,6)), 2) AS DOUBLE)
+                 AS price
+      FROM orders WHERE o_orderkey % 5 <> 0),
+    new AS (
+      SELECT o_orderkey, o_orderstatus AS status,
+             CAST(round(CAST(o_totalprice AS DECIMAL(18,6))
+                        * CASE WHEN o_orderkey % 11 = 0
+                               THEN CAST(1.1 AS DECIMAL(4,2))
+                               ELSE CAST(1.0 AS DECIMAL(4,2)) END, 2)
+                  AS DOUBLE) AS price
+      FROM orders WHERE o_orderkey % 3 <> 0)
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           COALESCE(n.status, o.status) AS status,
+           COALESCE(n.price, o.price) AS price,
+           CASE WHEN o.o_orderkey IS NULL THEN 'I'
+                WHEN n.o_orderkey IS NULL THEN 'D'
+                WHEN o.status <> n.status OR o.price <> n.price THEN 'U'
+           END AS op
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE CASE WHEN o.o_orderkey IS NULL THEN 'I'
+               WHEN n.o_orderkey IS NULL THEN 'D'
+               WHEN o.status <> n.status OR o.price <> n.price THEN 'U'
+          END IS NOT NULL
+    """,
+    tags="cdc snapshot-diff J1 A5",
+)
+def q59_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC classification of two deterministic order snapshots
+    (insert / update / delete; unchanged rows dropped) via
+    operators/timeseries.snapshot_diff — one full outer join carrying
+    md5 row digests instead of full row comparisons."""
+    from dropbox_duckdb_playground_spark.operators.timeseries import snapshot_diff
+
+    o = load(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice").cast("decimal(18,6)"), 2)
+        .cast("double")
+        .alias("price"),
+    )
+    new = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round(
+            F.col("o_totalprice").cast("decimal(18,6)")
+            * F.when(
+                F.col("o_orderkey") % 11 == 0, F.lit(1.1).cast("decimal(4,2)")
+            ).otherwise(F.lit(1.0).cast("decimal(4,2)")),
+            2,
+        ).cast("double").alias("price"),
+    )
+    return snapshot_diff(old, new, keys=["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
 

@@ -202,3 +202,67 @@ def time_rollup(
     ).alias("resolution")
     bucket_col = F.coalesce(*[F.col(f"__b_{r}") for r in resolutions]).alias("bucket")
     return out.select(res_col, bucket_col, *keys, *[c for c in out.columns if c.startswith("__b_") is False and c not in keys])
+
+
+def scd2_history(
+    df: DataFrame,
+    keys: list[str],
+    ts: str,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from change records:
+    each row becomes a validity interval ``[valid_from, valid_to)``
+    where ``valid_to`` is the next change's timestamp for the same key
+    (NULL = current row). One window pass per key — the shuffle is on
+    ``keys`` only, and the sort is within key partitions, never global.
+    ``tiebreak`` orders simultaneous changes deterministically.
+    """
+    order = [F.col(ts)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn("valid_from", F.col(ts)).withColumn(
+        "valid_to", F.lead(ts).over(w)
+    )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: list[str]
+) -> DataFrame:
+    """Change-data-capture diff of two full snapshots: classify every
+    key as I (insert: only in new), D (delete: only in old), or U
+    (update: in both with any non-key column changed). Unchanged rows
+    are dropped. Output: new-side columns (old-side for deletes) plus
+    ``op``.
+
+    Scale: one full outer join on ``keys``; change detection hashes the
+    non-key columns on each side (md5 of concat) so wide rows compare
+    as one value and the join carries two digests, not 2x row width.
+    """
+    val_cols = [c for c in new.columns if c not in keys]
+    if [c for c in old.columns if c not in keys] != val_cols:
+        raise ValueError("snapshot schemas differ")
+
+    def digest(df: DataFrame) -> Column:
+        return F.md5(
+            F.concat_ws(
+                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                          for c in val_cols]
+            )
+        )
+
+    o = old.select(*keys, *val_cols, digest(old).alias("__h")).alias("o")
+    n = new.select(*keys, *val_cols, digest(new).alias("__h")).alias("n")
+    j = o.join(n, on=keys, how="full_outer")
+    op = (
+        F.when(F.col("o.__h").isNull(), F.lit("I"))
+        .when(F.col("n.__h").isNull(), F.lit("D"))
+        .when(F.col("o.__h") != F.col("n.__h"), F.lit("U"))
+    )
+    picked = [
+        F.coalesce(F.col(f"n.{c}"), F.col(f"o.{c}")).alias(c)
+        for c in val_cols
+    ]
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(*keys, *picked, "op")
+    )

@@ -167,3 +167,53 @@ def test_asof_forward_tolerance(spark):
     got = {r.lid: r.p_asof for r in out.collect()}
     assert got[1] == 1.0   # equal ts within any tolerance
     assert got[2] is None  # next right is 1 min later > 30s
+
+
+def test_scd2_history(spark):
+    from pyspark.sql import functions as F
+
+    from dropbox_duckdb_playground_spark.operators.timeseries import (
+        scd2_history,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "bronze", 1),
+            (1, "2024-02-01 00:00:00", "silver", 2),
+            (2, "2024-01-15 00:00:00", "bronze", 3),
+        ],
+        ["uid", "ts", "tier", "eid"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r.uid, r.tier, str(r.valid_from)[:10], str(r.valid_to)[:10] if r.valid_to else None)
+        for r in scd2_history(df, keys=["uid"], ts="ts", tiebreak="eid").collect()
+    }
+    assert out == {
+        (1, "bronze", "2024-01-01", "2024-02-01"),
+        (1, "silver", "2024-02-01", None),
+        (2, "bronze", "2024-01-15", None),
+    }
+
+
+def test_snapshot_diff(spark):
+    import pytest
+
+    from dropbox_duckdb_playground_spark.operators.timeseries import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["k", "s", "v"]
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, "d", 40)], ["k", "s", "v"]
+    )
+    out = {
+        (r.k, r.s, r.v, r.op)
+        for r in snapshot_diff(old, new, keys=["k"]).collect()
+    }
+    # 1 unchanged -> dropped; 2 updated; 3 deleted; 4 inserted
+    assert out == {(2, "B", 20, "U"), (3, "c", 30, "D"), (4, "d", 40, "I")}
+
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new.withColumnRenamed("v", "x"), keys=["k"])
