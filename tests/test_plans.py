@@ -156,3 +156,32 @@ def test_salted_join_matches_plain_join(spark):
     assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
     # the physical join key must include the salt
     assert "__salt" in plan(got.select("k", "v", "name"))
+
+
+def test_tpch_plans_broadcast_dims_no_cartesian(spark, sf_dir):
+    """q52/q53 star joins: the dim sides must broadcast and nothing may
+    degenerate to a cartesian/nested-loop product."""
+    from dropbox_duckdb_playground_spark.catalog import (
+        q52_tpch_q5,
+        q53_tpch_q10,
+    )
+
+    for fn in (q52_tpch_q5, q53_tpch_q10):
+        p = plan(fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in p, fn.__name__
+        assert "CartesianProduct" not in p, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in p, fn.__name__
+
+
+def test_scd2_window_is_key_partitioned(spark, sf_dir):
+    """q58's window must be partitioned on user_id — an empty partition
+    spec would serialize the whole table through one task."""
+    from dropbox_duckdb_playground_spark.catalog import q58_scd2_history
+
+    p = plan(q58_scd2_history(spark, sf_dir))
+    assert "Window" in p
+    import re
+
+    # every Window operator line must carry a partition spec
+    for m in re.finditer(r"partitionBy=\[(.*?)\]", p):
+        assert m.group(1).strip(), "empty window partition spec"
