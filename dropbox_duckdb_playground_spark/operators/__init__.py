@@ -4,6 +4,8 @@ from dropbox_duckdb_playground_spark.operators.relational import (
     distinct_on,
     keep_first_merge,
     multi_left_join,
+    profile_columns,
+    salted_join,
     stable_id,
 )
 
@@ -13,5 +15,7 @@ __all__ = [
     "distinct_on",
     "keep_first_merge",
     "multi_left_join",
+    "profile_columns",
+    "salted_join",
     "stable_id",
 ]
