@@ -195,22 +195,49 @@ def profile_columns(
     ndv, min_s, max_s) per requested column — the ANALYZE-style stats
     a planner (or a data-quality gate) wants before a big job.
 
-    ``exact_ndv=False`` swaps count(distinct) for HyperLogLog
-    approx_count_distinct — the 100 TB default: exact multi-column
-    distinct goes through Spark's Expand operator, which multiplies
-    shuffled rows by the number of profiled columns, while the HLL
-    sketch keeps one constant-size state per column.
+    ``exact_ndv=True`` computes exact distinct counts WITHOUT Spark's
+    multi-distinct Expand plan (which multiplies shuffled rows by the
+    number of profiled columns): each column goes through its own
+    two-stage groupBy(col) aggregation, so only distinct values (after
+    map-side combine) ever shuffle, and min/max/null counts ride the
+    same pass over the combined keys. ``exact_ndv=False`` is the 100 TB
+    default — one pass with a constant-size HyperLogLog sketch per
+    column.
     """
-    ndv = (
-        (lambda c: F.countDistinct(F.col(c)))
-        if exact_ndv
-        else (lambda c: F.approx_count_distinct(F.col(c)))
-    )
+    from functools import reduce
+
+    if exact_ndv:
+        parts = []
+        for c in cols:
+            keyed = df.groupBy(F.col(c).alias("__k")).agg(
+                F.count("*").alias("__c")
+            )
+            parts.append(
+                keyed.agg(
+                    F.sum("__c").cast("long").alias("n_rows"),
+                    F.coalesce(
+                        F.sum(F.when(F.col("__k").isNull(), F.col("__c"))),
+                        F.lit(0),
+                    ).cast("long").alias("n_nulls"),
+                    F.count("__k").cast("long").alias("ndv"),
+                    F.min(F.col("__k").cast("string")).alias("min_s"),
+                    F.max(F.col("__k").cast("string")).alias("max_s"),
+                ).select(
+                    F.lit(c).alias("col"),
+                    "n_rows",
+                    "n_nulls",
+                    "ndv",
+                    "min_s",
+                    "max_s",
+                )
+            )
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
     aggs = [F.count("*").alias("n_rows")]
     for c in cols:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
-            ndv(c).alias(f"__ndv_{c}"),
+            F.approx_count_distinct(F.col(c)).alias(f"__ndv_{c}"),
             F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
             F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
         ]
