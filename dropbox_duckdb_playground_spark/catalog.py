@@ -2147,6 +2147,74 @@ def q59_snapshot_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus statistics: vocabulary building + inverse document frequency —
+# the token-level global views a tokenizer-training / TF-IDF pipeline
+# derives before any per-document work.
+
+
+@register(
+    "q60_vocabulary",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents)
+    SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM toks GROUP BY tok HAVING count(*) >= 5
+    """,
+    tags="corpus-vocab A1 A3",
+)
+def q60_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: global term frequency + document frequency
+    per token, min-count filtered (threshold instead of top-k so ties
+    cannot make the cut nondeterministic). One explode feeding a
+    two-level aggregation: (tok, doc) partial counts collapse map-side
+    before the global roll-up, so the shuffle carries distinct
+    (tok, doc) pairs, not token occurrences."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    per_doc = (
+        d.select("doc_id", F.explode(F.split(norm, " ")).alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_doc.groupBy("tok")
+        .agg(F.sum("c").alias("tf"), F.count("*").alias("df"))
+        .filter(F.col("tf") >= 5)
+    )
+
+
+@register(
+    "q61_idf",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT tok, count(*) AS df,
+           round(ln((SELECT n_docs FROM n) * 1.0 / count(*)), 6) AS idf
+    FROM toks GROUP BY tok
+    """,
+    tags="corpus-vocab tf-idf A1",
+)
+def q61_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse document frequency per token: ln(N / df). The corpus
+    size N is a scalar aggregate broadcast into the projection — no
+    second pass over the data."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.select(F.countDistinct("doc_id")).first()[0]
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    per_doc = d.select(
+        "doc_id", F.explode(F.split(norm, " ")).alias("tok")
+    ).distinct()
+    return per_doc.groupBy("tok").agg(
+        F.count("*").alias("df"),
+        F.round(F.log(F.lit(float(n_docs)) / F.count("*")), 6).alias("idf"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
 
