@@ -33,3 +33,44 @@ def test_two_long_chains(spark):
     e = [(i, i + 1) for i in range(0, 20)] + [(i, i + 1) for i in range(100, 115)]
     got = _cc(spark, e)
     assert got == {frozenset(range(0, 21)), frozenset(range(100, 116))}
+
+
+def test_components_random_graph_matches_local_union_find(spark):
+    """Differential on a seeded random graph: the distributed solver's
+    labels must induce exactly the partition a local union-find finds."""
+    import random
+
+    from dropbox_duckdb_playground_spark.operators.components import (
+        connected_components,
+    )
+
+    rng = random.Random(20260813)
+    n, m = 300, 220
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expected_groups = {}
+    for v in {x for e in edges for x in e}:
+        expected_groups.setdefault(find(v), set()).add(v)
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = connected_components(df).collect()
+    got_groups = {}
+    for r in got:
+        got_groups.setdefault(r.cluster_id, set()).add(r.node_id)
+
+    assert sorted(map(sorted, got_groups.values())) == sorted(
+        map(sorted, expected_groups.values())
+    )
+    # min-label convention: every cluster id is its own smallest member
+    for cid, members in got_groups.items():
+        assert cid == min(members)
