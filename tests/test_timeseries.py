@@ -217,3 +217,94 @@ def test_snapshot_diff(spark):
 
     with pytest.raises(ValueError):
         snapshot_diff(old, new.withColumnRenamed("v", "x"), keys=["k"])
+
+
+def test_asof_join_random_matches_pandas_merge_asof(spark):
+    """Differential on seeded random data: asof_join == pandas
+    merge_asof for backward and forward directions with tolerance."""
+    import random
+
+    import pandas as pd
+
+    from dropbox_duckdb_playground_spark.operators.timeseries import asof_join
+
+    rng = random.Random(42)
+    base = pd.Timestamp("2024-01-01")
+    left_rows = [
+        (i, rng.randrange(5), base + pd.Timedelta(seconds=rng.randrange(10000)))
+        for i in range(120)
+    ]
+    right_rows = [
+        (1000 + i, rng.randrange(5),
+         base + pd.Timedelta(seconds=rng.randrange(10000)),
+         float(rng.randrange(100)))
+        for i in range(150)
+    ]
+    lpdf = pd.DataFrame(left_rows, columns=["lid", "k", "ts"])
+    rpdf = pd.DataFrame(right_rows, columns=["rid", "k", "ts", "val"])
+
+    ldf = spark.createDataFrame(lpdf)
+    rdf = spark.createDataFrame(rpdf)
+
+    for direction, tol in (("backward", None), ("forward", None),
+                           ("backward", "30 MINUTES")):
+        got = asof_join(
+            ldf, rdf, by=["k"], ts="ts", payload=["val"],
+            tiebreak="rid", direction=direction, tolerance=tol,
+        ).toPandas().set_index("lid").sort_index()
+
+        # pandas reference: sort right by (ts, rid) so equal-ts ties
+        # resolve to the greatest rid, like the operator's tiebreak
+        exp = pd.merge_asof(
+            lpdf.sort_values(["ts", "lid"]),
+            rpdf.sort_values(["ts", "rid"]),
+            on="ts", by="k", direction=direction,
+            tolerance=pd.Timedelta("30 minutes") if tol else None,
+            suffixes=("", "_r"),
+        ).set_index("lid").sort_index()
+
+        assert list(got["val_asof"].fillna(-1)) == list(
+            exp["val"].fillna(-1)
+        ), f"direction={direction} tol={tol}"
+
+
+def test_range_join_random_matches_nested_loop(spark):
+    """Differential: range_join == the O(n*m) nested-loop reference on
+    seeded random intervals."""
+    import random
+
+    import pandas as pd
+
+    from dropbox_duckdb_playground_spark.operators.timeseries import range_join
+
+    rng = random.Random(7)
+    base = pd.Timestamp("2024-01-01")
+    pts = [
+        (i, rng.randrange(4), base + pd.Timedelta(seconds=rng.randrange(7200)))
+        for i in range(100)
+    ]
+    ivs = []
+    for i in range(40):
+        s = base + pd.Timedelta(seconds=rng.randrange(7200))
+        ivs.append((500 + i, rng.randrange(4), s,
+                    s + pd.Timedelta(seconds=rng.randrange(1, 1800))))
+
+    pdf_p = pd.DataFrame(pts, columns=["pid", "k", "ts"])
+    pdf_i = pd.DataFrame(ivs, columns=["iid", "k", "ts_start", "ts_end"])
+
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(
+            spark.createDataFrame(pdf_p),
+            spark.createDataFrame(pdf_i),
+            by=["k"], point_ts="ts", start="ts_start", end="ts_end",
+            band="30 minutes",
+        ).collect()
+    }
+    exp = {
+        (p.pid, i.iid)
+        for p in pdf_p.itertuples()
+        for i in pdf_i.itertuples()
+        if p.k == i.k and i.ts_start <= p.ts <= i.ts_end
+    }
+    assert got == exp
