@@ -2214,6 +2214,25 @@ def q61_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q62_ivf_ann",
+    oracle=None,
+    tags="similarity ivf ann",
+)
+def q62_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbors over the embeddings table —
+    the 100 TB similarity-search path (k-means coarse quantizer +
+    probed posting lists, operators/similarity.ivf_ann_topk). K-means
+    is not SQL-expressible, so this is a rows-only driver check; exact
+    recall against brute force is asserted in tests/test_similarity.py."""
+    from dropbox_duckdb_playground_spark.operators.similarity import ivf_ann_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(
+        e, e.filter(F.col("vec_id") < 10), k=5, nlist=8, nprobe=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
