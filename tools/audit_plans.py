@@ -46,6 +46,11 @@ ALLOWED = {
     # docstring): broadcast queries x corpus is a cross product by
     # definition. The scale paths are q36 (LSH) and the IVF operator.
     "q28_cosine_knn": "cartesian",
+    # IVF probe step scores every query against the centroid table by
+    # contract; the broadcast side is bounded at nlist rows (a constant
+    # ~2^4-2^16 regardless of corpus size), so the product cannot grow
+    # with data. The corpus-sized join below it is a hash equi-join.
+    "q62_ivf_ann": "cartesian",
 }
 
 
