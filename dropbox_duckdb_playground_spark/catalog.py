@@ -1724,7 +1724,7 @@ def q49_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bi,
              sum(CASE WHEN c > 1 THEN c END) AS dup_bi
       FROM bi_c GROUP BY doc_id)
-    SELECT u.doc_id, u.n_tokens,
+    SELECT u.doc_id, CAST(u.n_tokens AS BIGINT) AS n_tokens,
            round(u.top_uni * 1.0 / u.n_tokens, 4) AS top_unigram_frac,
            round(COALESCE(b.top_bi * 1.0 / b.n_bigrams, 0), 4)
                AS top_bigram_frac,
