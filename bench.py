@@ -133,7 +133,20 @@ def main() -> None:
         out["oracle_total_cold"] = cold
         out["oracle_total_warm"] = warm
         out["oracle_queries"] = per_q
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Durable copy first: the stdout line rides on megabytes of Spark
+    # progress noise and has been truncated in captured tails before.
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", os.path.join(REPO, "bench_out.json")
+    )
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError as exc:
+        sys.stderr.write(f"bench: could not write {out_path}: {exc}\n")
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
