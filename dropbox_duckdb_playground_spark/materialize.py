@@ -83,6 +83,30 @@ def _checkpoint_dir(df: DataFrame) -> str:
     return base
 
 
+def pin(df: DataFrame) -> DataFrame:
+    """Lazily pin a NON-iterative intermediate that feeds a handful of
+    downstream branches (``persist(MEMORY_AND_DISK)``).
+
+    Unlike :func:`materialize` this does not cut lineage and does not run
+    an extra eager job: the first downstream action populates the cache
+    and later branches re-read it. On a cluster that is also the right
+    fault-tolerance story for plain branch reuse — a lost block recomputes
+    from lineage instead of failing the job — so ``pin`` is the scale
+    path too, not a local-mode shortcut. Reserve :func:`materialize` for
+    iterative state, where unbounded lineage growth forces a real cut.
+
+    Under mode ``none`` it passes through, mode ``parquet`` delegates to
+    :func:`materialize` (externally inspectable staging)."""
+    mode = get_materialization()
+    if mode == "none":
+        return df
+    if mode == "parquet":
+        return materialize(df)
+    from pyspark.storagelevel import StorageLevel
+
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Eagerly compute ``df``, cut its lineage, and return a DataFrame
     whose re-scan is cheap — via the process-wide strategy (see module
