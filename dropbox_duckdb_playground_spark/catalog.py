@@ -789,7 +789,7 @@ def q25_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q26_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sh = D.shingles(d, n=3)
+    sh = D.shingles(d, n=3, with_size=True)
     return D.ngram_jaccard_pairs(sh, threshold=0.2)
 
 
