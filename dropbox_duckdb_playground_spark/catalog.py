@@ -2214,22 +2214,81 @@ def q61_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_STAGE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse",
+    "ivf_stage",
+)
+
+
+def _cos_sql(a: str, b: str, dim: int = 64) -> str:
+    """DuckDB cosine between two list columns, float64 element math —
+    the exact formula the q28 oracle already proved Spark-parity for."""
+    dot = (
+        f"list_aggregate(list_transform(range(1, {dim + 1}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+    na = (
+        f"sqrt(list_aggregate(list_transform(range(1, {dim + 1}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), 'sum'))"
+    )
+    nb = (
+        f"sqrt(list_aggregate(list_transform(range(1, {dim + 1}),"
+        f" i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum'))"
+    )
+    return f"{dot} / ({na} * {nb})"
+
+
 @register(
     "q62_ivf_ann",
-    oracle=None,
+    oracle=f"""
+    WITH cent AS (
+      SELECT list_id, centroid FROM '{_IVF_STAGE}/centroids/*.parquet'),
+    assign AS (
+      SELECT cand_id, c_vec, list_id FROM '{_IVF_STAGE}/assigned/*.parquet'),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec
+          FROM embeddings WHERE vec_id < 10),
+    probed AS (
+      SELECT query_id, q_vec, list_id FROM (
+        SELECT q.query_id, q.q_vec, c.list_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_cos_sql("q.q_vec", "c.centroid")} DESC,
+                          c.list_id ASC) AS rn
+        FROM q CROSS JOIN cent c) WHERE rn <= 2),
+    scored AS (
+      SELECT p.query_id, a.cand_id,
+             round({_cos_sql("p.q_vec", "a.c_vec")}, 4) AS cosine
+      FROM probed p JOIN assign a USING (list_id)
+      WHERE a.cand_id <> p.query_id)
+    SELECT query_id, cand_id, cosine FROM (
+      SELECT query_id, cand_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, cand_id ASC) AS rn
+      FROM scored) WHERE rn <= 5
+    """,
     tags="similarity ivf ann",
 )
 def q62_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate nearest neighbors over the embeddings table —
     the 100 TB similarity-search path (k-means coarse quantizer +
-    probed posting lists, operators/similarity.ivf_ann_topk). K-means
-    is not SQL-expressible, so this is a rows-only driver check; exact
-    recall against brute force is asserted in tests/test_similarity.py."""
+    probed posting lists, operators/similarity.ivf_ann_topk). The
+    k-means itself is not SQL-expressible, but the query STAGES its
+    deterministic quantizer output (centroids + posting-list
+    assignment) as parquet, and the oracle replays the probe + exact
+    re-rank over those files in DuckDB — so everything relational
+    downstream of the trained model IS hash-checked. Recall vs brute
+    force is additionally asserted in tests/test_similarity.py."""
     from dropbox_duckdb_playground_spark.operators.similarity import ivf_ann_topk
 
     e = load(spark, sf_dir, "embeddings")
     return ivf_ann_topk(
-        e, e.filter(F.col("vec_id") < 10), k=5, nlist=8, nprobe=2
+        e,
+        e.filter(F.col("vec_id") < 10),
+        k=5,
+        nlist=8,
+        nprobe=2,
+        stage_dir=_IVF_STAGE,
     )
 
 

@@ -10,6 +10,8 @@ no Python UDF.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -186,6 +188,8 @@ def ivf_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    n_vecs: int | None = None,
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: spherical k-means coarse quantizer ->
     per-centroid posting lists -> probe the ``nprobe`` nearest lists per
@@ -198,9 +202,16 @@ def ivf_ann_topk(
     milliseconds and is independent of corpus size; the corpus is only
     touched by ONE Arrow-vectorized assignment pass (numpy matmul per
     batch) and the probed-list scoring join. Output schema matches
-    `cosine_topk` (query_id, cand_id, cosine). Not SQL-oracle-able
-    (k-means); correctness is asserted against brute-force recall in
-    tests."""
+    `cosine_topk` (query_id, cand_id, cosine).
+
+    The k-means itself is not SQL-expressible, but the probe + re-rank
+    ARE: pass ``stage_dir`` to stage the (cand_id, c_vec, list_id)
+    assignment and the centroid table as parquet, so an external oracle
+    (DuckDB) can replay everything downstream of the quantizer.
+    Training reads ``limit(train_cap)`` — an early-stopping scan, NOT a
+    full-corpus count; pass ``n_vecs`` (corpus size hint) to switch to
+    an unbiased seeded fraction sample when the input's physical order
+    is correlated with cluster structure."""
     import numpy as np
 
     from dropbox_duckdb_playground_spark.operators.relational import fan_out
@@ -211,12 +222,10 @@ def ivf_ann_topk(
 
     # -- train: bounded sample -> driver numpy spherical k-means --------
     train_cap = max(nlist * 256, 2048)
-    n_vecs = vecs.count()
-    sample = (
-        vecs.sample(fraction=min(1.0, train_cap / n_vecs), seed=seed)
-        if n_vecs > train_cap
-        else vecs
-    )
+    if n_vecs is not None and n_vecs > train_cap:
+        sample = vecs.sample(fraction=min(1.0, train_cap / n_vecs), seed=seed)
+    else:
+        sample = vecs.limit(train_cap)
     X = np.asarray(sample.toPandas()["c_vec"].tolist(), dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
@@ -245,12 +254,21 @@ def ivf_ann_topk(
             M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
             yield pdf.assign(list_id=(M @ Ct).argmax(axis=1).astype("int32"))
 
-    assigned = materialize(vecs.mapInPandas(assign_lists, schema=out_schema))
-
     cent_df = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(C)],
         "list_id int, centroid array<double>",
     )
+    if stage_dir is not None:
+        # Parquet staging doubles as the oracle handshake: DuckDB can
+        # replay probe + re-rank over exactly these files.
+        a_path = os.path.join(stage_dir, "assigned")
+        vecs.mapInPandas(assign_lists, schema=out_schema).write.mode(
+            "overwrite"
+        ).parquet(a_path)
+        assigned = spark.read.parquet(a_path)
+        cent_df.write.mode("overwrite").parquet(os.path.join(stage_dir, "centroids"))
+    else:
+        assigned = materialize(vecs.mapInPandas(assign_lists, schema=out_schema))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
