@@ -2292,6 +2292,57 @@ def q62_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q63_media_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           64 + ('0x' || substr(md5(text), 1, 2))::INT % 192 AS width,
+           64 + ('0x' || substr(md5(text), 3, 2))::INT % 192 AS height,
+           round(('0x' || substr(md5(text), 5, 2))::INT / 255.0, 6) AS f0,
+           round(('0x' || substr(md5(text), 7, 2))::INT / 255.0, 6) AS f1,
+           round(('0x' || substr(md5(text), 9, 2))::INT / 255.0, 6) AS f2,
+           round(('0x' || substr(md5(text), 11, 2))::INT / 255.0, 6) AS f3
+    FROM documents
+    """,
+    tags="multimodal media decode mapInPandas",
+)
+def q63_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode + feature extraction, oracle-checked end to end
+    (reference analog: the ObjProcessor surface,
+    batch_framework/etl.py:400-480). Documents' text bytes stand in for
+    image blobs; the full media plumbing runs for real — binary content
+    column, typed metadata struct, Arrow-batched ``mapInPandas`` decode
+    (operators/multimodal.decode_features) — with the DETERMINISTIC fake
+    codec (md5-derived dims + 4-dim feature vector) pinned explicitly so
+    the oracle can replay it in SQL. The feature array is unpacked to
+    scalar columns for stable value hashing."""
+    from dropbox_duckdb_playground_spark.operators.multimodal import (
+        attach_media_meta,
+        decode_features,
+        fake_image_decode,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    media = attach_media_meta(
+        d.select(
+            F.col("doc_id").alias("media_id"),
+            F.col("text").cast("binary").alias("content"),
+        ),
+        modality="image",
+        mime="image/png",
+    )
+    feats = decode_features(media, decode_fn=fake_image_decode)
+    return feats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 2), 6).alias("f1"),
+        F.round(F.element_at("features", 3), 6).alias("f2"),
+        F.round(F.element_at("features", 4), 6).alias("f3"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
