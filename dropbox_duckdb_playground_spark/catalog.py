@@ -1411,7 +1411,7 @@ def q43_flagship_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 3. E4-E7: resolve near-duplicate documents into clusters (the same
     #    operator chain q34 checks in isolation)
-    pairs = D.ngram_jaccard_pairs(D.shingles(docs, n=3), threshold=0.2)
+    pairs = D.ngram_jaccard_pairs(D.shingles(docs, n=3, with_size=True), threshold=0.2)
     labels = connected_components(
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     )

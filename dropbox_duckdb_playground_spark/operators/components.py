@@ -181,14 +181,15 @@ def connected_components(
     n_raw = raw.count()
     if n_raw <= residual_threshold:
         if n_raw > 0:
+            # no materialize: the mapping feeds exactly ONE consumer (the
+            # compose join), so pinning it would only add a sync job —
+            # lineage is already cut at the checkpointed raw edges
             mappings.append(
-                materialize(
-                    _solve_single_task(
-                        raw.filter(F.col("a") != F.col("b")).select(
-                            F.col("a").alias("u"), F.col("b").alias("v")
-                        ),
-                        star_schema,
-                    )
+                _solve_single_task(
+                    raw.filter(F.col("a") != F.col("b")).select(
+                        F.col("a").alias("u"), F.col("b").alias("v")
+                    ),
+                    star_schema,
                 )
             )
         return _compose_labels(nodes, mappings)

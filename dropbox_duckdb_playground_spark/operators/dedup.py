@@ -18,7 +18,7 @@ operator has an exact DuckDB oracle; xxhash64 would be Spark-only.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from dropbox_duckdb_playground_spark.materialize import materialize
@@ -124,14 +124,22 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, key: str = "doc_id", num_perm: int = 8, bands: int = 4
+    sig: DataFrame,
+    key: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into ``bands`` bands, hash each
     band, self-join per (band_id, band_key) bucket with a < b. Output:
     distinct (a_id, b_id) candidate pairs.
 
-    Scale: the self-join runs per bucket; bucket sizes are the skew risk —
-    at production scale cap bucket size (count + filter) before pairing.
+    Scale: the self-join runs per bucket; bucket sizes are the skew risk.
+    ``max_bucket_size`` is the production guard — buckets larger than the
+    cap are dropped entirely before pairing (the standard LSH treatment:
+    a bucket that collides half the corpus carries no similarity signal,
+    only boilerplate, and pairing it is quadratic). Default ``None``
+    preserves exact semantics for oracle parity.
     The signature table (one short row per doc — tiny vs the corpus) is
     materialized once so the minhash pipeline doesn't run for both join
     sides."""
@@ -146,6 +154,13 @@ def lsh_candidate_pairs(
     buckets = sig.select(
         F.col(key), F.explode(F.array(*band_cols)).alias("b")
     ).select(key, "b.band_id", "b.band_key")
+    if max_bucket_size is not None:
+        bw = Window.partitionBy("band_id", "band_key")
+        buckets = (
+            buckets.withColumn("__bsz__", F.count("*").over(bw))
+            .filter(F.col("__bsz__") <= max_bucket_size)
+            .drop("__bsz__")
+        )
     left = buckets.alias("l")
     right = buckets.alias("r")
     return (
@@ -164,6 +179,7 @@ def ngram_jaccard_pairs(
     shingle_df: DataFrame,
     key: str = "doc_id",
     threshold: float = 0.2,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via inverted-index join.
 
@@ -171,21 +187,42 @@ def ngram_jaccard_pairs(
     J = common / (|A| + |B| - common). Returns (a_id, b_id, jaccard)
     for pairs above ``threshold``.
 
-    Scale: joins on the shingle digest (never the raw shingle string);
-    hot shingles (boilerplate) should be frequency-capped upstream.
+    Scale: joins on the shingle digest (never the raw shingle string).
     Per-doc sizes ride ON the exploded rows when ``shingle_df`` comes
     from ``shingles(..., with_size=True)`` (they are a constant per
     doc, so grouping by them is free) — no separate sizes aggregation
     and no post-join size lookups. The self-join's two sides are the
     IDENTICAL subplan, so their shuffle exchanges canonicalize equal
     and Spark executes ONE exchange (ReusedExchange) — the digest
-    pass runs once without any checkpoint/materialize barrier."""
+    pass runs once without any checkpoint/materialize barrier.
+
+    ``max_shingle_freq`` is the production guard for corpora whose
+    shingle space saturates (boilerplate, tiny vocab): shingles held by
+    more than the cap's worth of documents are dropped BEFORE pairing
+    — standard stop-shingle removal — and per-doc sizes are recomputed
+    over the surviving shingles, i.e. Jaccard over the capped sets.
+    A shingle shared by k docs contributes k^2/2 candidate pairs while
+    carrying ~zero similarity signal once k is large; the cap bounds
+    per-shingle work at cap^2/2 regardless of corpus size. Default
+    ``None`` preserves exact semantics for oracle parity."""
     cols = [F.col(key), _hex60(F.col("shingle")).alias("sh")]
-    has_size = "sz" in shingle_df.columns
+    has_size = "sz" in shingle_df.columns and max_shingle_freq is None
     if has_size:
         cols.append(F.col("sz"))
     hashed = shingle_df.select(*cols)
-    if not has_size:
+    if max_shingle_freq is not None:
+        fw = Window.partitionBy("sh")
+        hashed = (
+            hashed.withColumn("__df__", F.count("*").over(fw))
+            .filter(F.col("__df__") <= max_shingle_freq)
+            .drop("__df__")
+        )
+        hashed = hashed.withColumn(
+            "sz", F.count("*").over(Window.partitionBy(key))
+        )
+        has_size = True
+        hashed = materialize(hashed)
+    elif not has_size:
         hashed = materialize(hashed)
         sizes = hashed.groupBy(key).agg(F.count("*").alias("sz"))
     # Force a shuffle join: the two sides are the same subplan, so their

@@ -57,6 +57,32 @@ def test_jaccard_exact_value(spark):
     assert abs(out[0].jaccard - 0.5) < 1e-9
 
 
+def test_lsh_max_bucket_size_drops_mega_buckets(spark):
+    # four identical docs collide in every band; cap 3 < bucket size 4
+    # drops the bucket, cap 4 keeps it
+    rows = [(i, "the quick brown fox jumps over the lazy dog again") for i in range(4)]
+    sig = D.minhash_signatures(D.shingles(_docs(spark, rows)))
+    assert D.lsh_candidate_pairs(sig, max_bucket_size=3).count() == 0
+    capped = D.lsh_candidate_pairs(sig, max_bucket_size=4)
+    assert {(r.a_id, r.b_id) for r in capped.collect()} == {
+        (a, b) for a in range(4) for b in range(4) if a < b
+    }
+
+
+def test_jaccard_max_shingle_freq_stop_shingles(spark):
+    # "a b c" is held by all three docs (freq 3 > cap 2) -> dropped;
+    # doc1/doc2 still share {b c d} among their surviving shingles:
+    # doc1 {b c d}, doc2 {b c d, c d e} -> J = 1/2. doc3 has no
+    # surviving shingles and pairs with nobody.
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c d e"), (3, "a b c")])
+    out = D.ngram_jaccard_pairs(
+        D.shingles(df, with_size=True), threshold=0.0, max_shingle_freq=2
+    ).collect()
+    assert len(out) == 1
+    assert out[0].a_id == 1 and out[0].b_id == 2
+    assert abs(out[0].jaccard - 0.5) < 1e-9
+
+
 def test_simhash_identical_and_near(spark):
     df = _docs(
         spark,
