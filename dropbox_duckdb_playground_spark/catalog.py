@@ -2343,6 +2343,96 @@ def q63_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHINGLE_CTES = f"""
+    WITH toks AS (
+      SELECT doc_id, trim(text) AS t FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(t, '\\s+'), 1) AS pos
+      FROM toks),
+    sh0 AS (
+      SELECT DISTINCT doc_id,
+             {DUCK_ID.format(x="shingle")} AS sh
+      FROM (
+        SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   AS shingle
+        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      WHERE shingle IS NOT NULL)"""
+
+
+@register(
+    "q64_jaccard_capped",
+    oracle=f"""{_SHINGLE_CTES},
+    sh AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM sh0)
+      WHERE df <= 3),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT l.doc_id AS a_id, r.doc_id AS b_id, count(*) AS common
+      FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
+      GROUP BY 1, 2)
+    SELECT c.a_id, c.b_id,
+           round(c.common * 1.0 / (sa.sz + sb.sz - c.common), 4) AS jaccard
+    FROM common c
+    JOIN sizes sa ON c.a_id = sa.doc_id
+    JOIN sizes sb ON c.b_id = sb.doc_id
+    WHERE round(c.common * 1.0 / (sa.sz + sb.sz - c.common), 4) >= 0.2
+    """,
+    tags="dedup-jaccard hot-key-cap scale-guard",
+)
+def q64_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-scale variant of q26: stop-shingle removal
+    (``max_shingle_freq``) bounds per-shingle pair generation at cap²/2
+    regardless of corpus size — the guard that keeps exact Jaccard
+    linear when the shingle space saturates (see SCALING.md sf1 rows).
+    Jaccard is computed over the capped shingle sets on both engines."""
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingles(d, n=3, with_size=True)
+    return D.ngram_jaccard_pairs(sh, threshold=0.2, max_shingle_freq=3)
+
+
+@register(
+    "q65_lsh_capped",
+    oracle=f"""{_SHINGLE_CTES},
+    hashed AS (
+      SELECT doc_id, (sh >> 30) AS h_hi, (sh & 1073741823) AS h_lo
+      FROM sh0),
+    sig AS (
+      SELECT doc_id, {MINHASH_MINS}
+      FROM hashed GROUP BY doc_id),
+    buckets AS (
+      SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key FROM sig
+      UNION ALL
+      SELECT doc_id, 1, md5(mh2 || '|' || mh3) FROM sig
+      UNION ALL
+      SELECT doc_id, 2, md5(mh4 || '|' || mh5) FROM sig
+      UNION ALL
+      SELECT doc_id, 3, md5(mh6 || '|' || mh7) FROM sig),
+    capped AS (
+      SELECT doc_id, band_id, band_key FROM (
+        SELECT doc_id, band_id, band_key,
+               count(*) OVER (PARTITION BY band_id, band_key) AS bsz
+        FROM buckets)
+      WHERE bsz <= 3)
+    SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+    FROM capped l JOIN capped r
+      ON l.band_id = r.band_id AND l.band_key = r.band_key
+         AND l.doc_id < r.doc_id
+    """,
+    tags="dedup-minhash-lsh hot-key-cap scale-guard",
+)
+def q65_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-scale variant of q25: mega-buckets (boilerplate
+    collisions) are dropped before pairing (``max_bucket_size``), the
+    standard LSH guard that bounds per-bucket work at cap²/2."""
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingles(d, n=3)
+    sig = D.minhash_signatures(sh, num_perm=8)
+    return D.lsh_candidate_pairs(sig, num_perm=8, bands=4, max_bucket_size=3)
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 

@@ -75,6 +75,26 @@ def test_invalid_mode_rejected():
         mat.set_materialization("bogus")
 
 
+def test_pin_roundtrip_and_cached(df):
+    out = mat.pin(df)
+    assert _rows(out) == _rows(df)
+    assert out.storageLevel.useMemory  # lazily persisted, no eager job
+    out.unpersist()
+
+
+def test_pin_none_passthrough(df):
+    mat.set_materialization("none")
+    out = mat.pin(df)
+    assert out is df
+
+
+def test_pin_parquet_delegates(df, tmp_path):
+    mat.set_materialization("parquet", directory=str(tmp_path / "pinstage"))
+    out = mat.pin(df)
+    assert _rows(out) == _rows(df)
+    assert (tmp_path / "pinstage").exists()
+
+
 def test_operators_run_under_parquet_policy(spark, tmp_path):
     """The CC operator (heaviest materialize consumer) must be
     strategy-agnostic: same clusters under parquet staging as local."""
