@@ -140,10 +140,11 @@ def lsh_candidate_pairs(
     a bucket that collides half the corpus carries no similarity signal,
     only boilerplate, and pairing it is quadratic). Default ``None``
     preserves exact semantics for oracle parity.
-    The signature table (one short row per doc — tiny vs the corpus) is
-    materialized once so the minhash pipeline doesn't run for both join
-    sides."""
-    sig = materialize(sig)
+    The self-join's two sides are the same subplan forced to a
+    sort-merge join, so their shuffle exchanges canonicalize equal and
+    the minhash pipeline executes ONCE (ReusedExchange) — no
+    materialize barrier; SMJ (not shuffle-hash) so a skewed partition
+    spills instead of OOMing the build at cluster scale."""
     rows_per_band = num_perm // bands
     band_cols = []
     for b in range(bands):
@@ -162,7 +163,7 @@ def lsh_candidate_pairs(
             .drop("__bsz__")
         )
     left = buckets.alias("l")
-    right = buckets.alias("r")
+    right = buckets.hint("merge").alias("r")
     return (
         left.join(
             right,
@@ -301,9 +302,10 @@ def hamming_neardup_pairs(
     block-permutation trick: split the signature into ``blocks`` chunks;
     any pair within radius ``max_hamming < blocks`` must agree on ≥1 chunk
     → equi-join per chunk, then exact Hamming filter via bit_count(xor).
-    The signature table (one row per doc) is materialized once so the
-    simhash bit-sum pipeline doesn't run for both join sides."""
-    sig = materialize(sig)
+    The self-join sides are the same subplan forced to a sort-merge
+    join: their exchanges canonicalize equal, so the simhash bit-sum
+    pipeline executes ONCE (ReusedExchange) with no materialize
+    barrier — and SMJ spills instead of OOMing on skew at scale."""
     chunk = bits // blocks
     mask = (1 << chunk) - 1
     chunk_cols = [
@@ -316,7 +318,7 @@ def hamming_neardup_pairs(
     keyed = sig.select(
         F.col(key), F.col("simhash"), F.explode(F.array(*chunk_cols)).alias("c")
     ).select(key, "simhash", "c.blk", "c.ck")
-    l, r = keyed.alias("l"), keyed.alias("r")
+    l, r = keyed.alias("l"), keyed.hint("merge").alias("r")
     return (
         l.join(
             r,

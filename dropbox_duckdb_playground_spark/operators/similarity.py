@@ -163,11 +163,13 @@ def cosine_neardup_pairs(
     from dropbox_duckdb_playground_spark.operators.relational import fan_out
 
     sig = hyperplane_signature(F.col(vec_col), dim, planes)
-    c = materialize(
-        fan_out(embeddings)
-        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("bucket"))
+    # identical subplans + forced sort-merge join -> exchanges
+    # canonicalize equal and the signature pass runs ONCE
+    # (ReusedExchange), no materialize barrier; SMJ spills on skew
+    c = fan_out(embeddings).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("bucket")
     )
-    l, r = c.alias("l"), c.alias("r")
+    l, r = c.alias("l"), c.hint("merge").alias("r")
     return (
         l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
         .select(
