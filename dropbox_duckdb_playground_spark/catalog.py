@@ -1041,7 +1041,7 @@ DOC_CLUSTER_CTES = f"""toks AS (SELECT doc_id, trim(text) AS t FROM documents),
 )
 def q34_er_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    sh = D.shingles(d, n=3)
+    sh = D.shingles(d, n=3, with_size=True)
     pairs = D.ngram_jaccard_pairs(sh, threshold=0.2)
     # CC runs on the (small) matched-pair edge set only; unmatched docs
     # become singletons via the left join — identical labels, and the
@@ -1617,7 +1617,7 @@ def q47_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     of documents it absorbed. q34 labels every doc; this is the
     downstream 'remove' step a training pipeline actually ships."""
     d = load(spark, sf_dir, "documents")
-    sh = D.shingles(d, n=3)
+    sh = D.shingles(d, n=3, with_size=True)
     pairs = D.ngram_jaccard_pairs(sh, threshold=0.2)
     return D.neardup_survivors(d, pairs).select(
         "cluster_id", "doc_id", "n_absorbed"
@@ -1657,13 +1657,14 @@ def q48_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     set; each remaining training doc is scored by the fraction of its
     3-gram shingles that collide with the benchmark. The benchmark
     shingle set is broadcast (eval sets are MBs against a 100 TB
-    corpus)."""
-    from dropbox_duckdb_playground_spark.materialize import materialize
-
+    corpus). No shared materialize: the doc_id filters push down
+    through the shingle projection to the scans, so the bench branch
+    shingles only its 2% of documents and the train branch its 98% —
+    the same total work as one materialized pass, without the sync
+    barrier."""
     d = load(spark, sf_dir, "documents")
-    sh = materialize(D.shingles(d, n=3))
-    bench = sh.filter(F.col("doc_id") % 50 == 0)
-    train = sh.filter(F.col("doc_id") % 50 != 0)
+    bench = D.shingles(d.filter(F.col("doc_id") % 50 == 0), n=3)
+    train = D.shingles(d.filter(F.col("doc_id") % 50 != 0), n=3)
     return D.contamination_check(train, bench)
 
 
