@@ -77,8 +77,12 @@ def candidate_pairs(
 ) -> DataFrame:
     """E5/J6/J7: distinct candidate pairs from the block self-join, with
     both sides' features attached as ``a_*`` / ``b_*`` columns
-    (reference: mapper/messy.py:226-250)."""
-    l, r = blocks.alias("l"), blocks.alias("r")
+    (reference: mapper/messy.py:226-250). The self-join is forced to
+    sort-merge so its identical sides share ONE shuffle exchange
+    (ReusedExchange) — left to AQE a broadcast join would recompute the
+    block-table pipeline for both sides — and SMJ spills rather than
+    OOMs if a block slips past the upstream size cap."""
+    l, r = blocks.alias("l"), blocks.hint("merge").alias("r")
     pairs = (
         l.join(
             r,
