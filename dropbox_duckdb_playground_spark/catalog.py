@@ -2434,6 +2434,116 @@ def q65_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(sig, num_perm=8, bands=4, max_bucket_size=3)
 
 
+@register(
+    "q66_doc_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE len(trim(text)) > 0),
+    starts AS (
+      SELECT doc_id, t, unnest(range(0, greatest(len(t) - 1, 0) + 1, 40)) AS s
+      FROM toks)
+    SELECT doc_id,
+           CAST(s / 40 AS BIGINT) AS chunk_id,
+           CAST(len(t[s + 1 : s + 50]) AS BIGINT) AS n_tokens,
+           array_to_string(t[s + 1 : s + 50], ' ') AS chunk_text
+    FROM starts
+    """,
+    tags="llm-prep chunking context-windows",
+)
+def q66_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token training windows (50 tokens, 10 overlap) per document
+    — LLM context-window prep as a pure narrow map (no shuffle)."""
+    d = load(spark, sf_dir, "documents")
+    return TX.chunk_documents(d, chunk_tokens=50, overlap=10)
+
+
+@register(
+    "q67_minhash_estimate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, trim(text) AS t FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(t, '\\s+'), 1) AS pos
+      FROM toks),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   AS shingle
+        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      WHERE shingle IS NOT NULL),
+    hashed AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(shingle), 1, 15))::BIGINT >> 30) AS h_hi,
+             (('0x' || substr(md5(shingle), 1, 15))::BIGINT & 1073741823) AS h_lo
+      FROM sh),
+    sig AS (
+      SELECT doc_id, {MINHASH_MINS}
+      FROM hashed GROUP BY doc_id),
+    buckets AS (
+      SELECT doc_id, 0 AS band_id, md5(mh0 || '|' || mh1) AS band_key,
+             mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 FROM sig
+      UNION ALL
+      SELECT doc_id, 1, md5(mh2 || '|' || mh3),
+             mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 FROM sig
+      UNION ALL
+      SELECT doc_id, 2, md5(mh4 || '|' || mh5),
+             mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 FROM sig
+      UNION ALL
+      SELECT doc_id, 3, md5(mh6 || '|' || mh7),
+             mh0, mh1, mh2, mh3, mh4, mh5, mh6, mh7 FROM sig)
+    SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+           round((CASE WHEN l.mh0 = r.mh0 THEN 1 ELSE 0 END
+                + CASE WHEN l.mh1 = r.mh1 THEN 1 ELSE 0 END
+                + CASE WHEN l.mh2 = r.mh2 THEN 1 ELSE 0 END
+                + CASE WHEN l.mh3 = r.mh3 THEN 1 ELSE 0 END
+                + CASE WHEN l.mh4 = r.mh4 THEN 1 ELSE 0 END
+                + CASE WHEN l.mh5 = r.mh5 THEN 1 ELSE 0 END
+                + CASE WHEN l.mh6 = r.mh6 THEN 1 ELSE 0 END
+                + CASE WHEN l.mh7 = r.mh7 THEN 1 ELSE 0 END) / 8.0, 4)
+               AS est_jaccard
+    FROM buckets l JOIN buckets r
+      ON l.band_id = r.band_id AND l.band_key = r.band_key
+         AND l.doc_id < r.doc_id
+    """,
+    tags="dedup-minhash-estimate sketch",
+)
+def q67_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with MinHash-ESTIMATED Jaccard (matching
+    permutations / 8) — the signature-only sketch answer web-scale
+    dedup ships when exact shingle intersection is too expensive."""
+    d = load(spark, sf_dir, "documents")
+    sig = D.minhash_signatures(D.shingles(d, n=3), num_perm=8)
+    return D.minhash_estimate_pairs(sig, num_perm=8, bands=4)
+
+
+@register(
+    "q68_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+      FROM documents),
+    freq AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+    p AS (SELECT token, cnt * 1.0 / (SELECT sum(cnt) FROM freq) AS p
+          FROM freq)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-log2(p.p)), 4) AS avg_neg_log2p
+    FROM toks t JOIN p ON t.token = p.token
+    GROUP BY t.doc_id
+    """,
+    tags="llm-prep quality perplexity-filter",
+)
+def q68_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal per document (avg -log2 p(token) under the
+    corpus's own unigram distribution) — the cheap end of the
+    perplexity-filtering family for corpus curation."""
+    d = load(spark, sf_dir, "documents")
+    return TX.unigram_logprob(d)
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 

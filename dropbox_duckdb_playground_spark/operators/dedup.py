@@ -176,6 +176,65 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_estimate_pairs(
+    sig: DataFrame,
+    key: str = "doc_id",
+    num_perm: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH candidates with their MinHash-estimated Jaccard: the
+    signature-only sketch answer (est = matching permutations /
+    num_perm) that web-scale dedup ships when exact shingle
+    intersection is too expensive. Output: (a_id, b_id, est_jaccard),
+    est rounded to 4 (exact /2^k arithmetic — engine-portable).
+
+    Scale: same banded self-join as `lsh_candidate_pairs` (one reused
+    exchange, SMJ); signatures ride the bucket rows so the estimate
+    costs ZERO extra joins — num_perm integer equality checks per
+    candidate."""
+    rows_per_band = num_perm // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.md5(F.concat_ws("|", *parts)).alias("band_key"),
+            )
+        )
+    mh = [f"mh{i}" for i in range(num_perm)]
+    buckets = sig.select(
+        F.col(key), *mh, F.explode(F.array(*band_cols)).alias("b")
+    ).select(key, *mh, "b.band_id", "b.band_key")
+    if max_bucket_size is not None:
+        bw = Window.partitionBy("band_id", "band_key")
+        buckets = (
+            buckets.withColumn("__bsz__", F.count("*").over(bw))
+            .filter(F.col("__bsz__") <= max_bucket_size)
+            .drop("__bsz__")
+        )
+    l, r = buckets.alias("l"), buckets.hint("merge").alias("r")
+    matches = sum(
+        F.when(F.col(f"l.mh{i}") == F.col(f"r.mh{i}"), 1).otherwise(0)
+        for i in range(num_perm)
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{key}") < F.col(f"r.{key}")),
+        )
+        .select(
+            F.col(f"l.{key}").alias("a_id"),
+            F.col(f"r.{key}").alias("b_id"),
+            F.round(matches / F.lit(num_perm), 4).alias("est_jaccard"),
+        )
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     shingle_df: DataFrame,
     key: str = "doc_id",

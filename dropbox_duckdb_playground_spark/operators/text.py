@@ -248,6 +248,87 @@ def lang_id_predict(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split documents into fixed-token training windows with overlap —
+    the standard LLM context-window prep step. Output: (key, chunk_id,
+    n_tokens, chunk_text), chunk_id 0-based; the final chunk may be
+    short; zero-token docs produce no chunks.
+
+    Scale: narrow map — tokenize once in-row, explode over the stride
+    starts (``sequence``), slice + rejoin per chunk. No shuffle at all;
+    chunk fan-out is bounded by n_tokens/stride per doc."""
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("chunk_tokens must exceed overlap")
+    toks = F.col("__toks__")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    out = (
+        df.select(F.col(key), tokens_col(text).alias("__toks__"))
+        .filter(n > 0)
+        .select(
+            F.col(key),
+            F.col("__toks__"),
+            F.posexplode(starts).alias("chunk_id", "start"),
+        )
+        .select(
+            F.col(key),
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.slice(F.col("__toks__"), F.col("start") + 1, chunk_tokens).alias(
+                "__chunk__"
+            ),
+        )
+    )
+    return out.select(
+        key,
+        "chunk_id",
+        F.size("__chunk__").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", "__chunk__").alias("chunk_text"),
+    )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+) -> DataFrame:
+    """Unigram-LM surprisal score per document: avg -log2 p(token) under
+    the corpus's own unigram distribution — the cheap end of the
+    perplexity-filtering family used to drop gibberish/boilerplate from
+    LLM training corpora (thresholding is caller policy).
+
+    Output: (key, n_tokens, avg_neg_log2p) rounded to 4 places.
+
+    Scale: token frequencies via ONE map-side-combined shuffle (bytes
+    bounded by vocab); the corpus total rides a broadcast scalar join;
+    scoring joins each exploded token against the frequency table and
+    collapses straight to the per-doc average (partial agg). The freq
+    join is a plain shuffle join, so an arbitrarily large vocabulary
+    never needs to fit anywhere whole."""
+    toks = docs.select(F.col(key), F.explode(tokens_col(text)).alias("token"))
+    freq = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("__total__"))
+    p = freq.crossJoin(F.broadcast(total)).select(
+        "token", (F.col("cnt") / F.col("__total__")).alias("p")
+    )
+    return (
+        toks.join(p, "token")
+        .groupBy(key)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg(-F.log2("p")), 4).alias("avg_neg_log2p"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame, text: str = "text", key: str = "doc_id"
 ) -> DataFrame:

@@ -83,6 +83,47 @@ def test_jaccard_max_shingle_freq_stop_shingles(spark):
     assert abs(out[0].jaccard - 0.5) < 1e-9
 
 
+def test_chunk_documents_windows_and_tail(spark):
+    from dropbox_duckdb_playground_spark.operators import text as TX
+
+    toks = [f"t{i}" for i in range(120)]
+    df = _docs(spark, [(1, " ".join(toks)), (2, ""), (3, "one two")])
+    out = TX.chunk_documents(df, chunk_tokens=50, overlap=10).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 0,40,80 -> 50,50,40 tokens; overlap of 10 tokens
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.n_tokens for r in c1] == [50, 50, 40]
+    assert c1[0].chunk_text.split()[40:] == c1[1].chunk_text.split()[:10]
+    assert 2 not in by_doc  # empty doc -> no chunks
+    assert by_doc[3][0].chunk_text == "one two"
+
+
+def test_minhash_estimate_identical_docs_est_one(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy dog again"),
+            (3, "completely different words appear in this one here now"),
+        ],
+    )
+    sig = D.minhash_signatures(D.shingles(df))
+    out = {(r.a_id, r.b_id): r.est_jaccard for r in D.minhash_estimate_pairs(sig).collect()}
+    assert out[(1, 2)] == 1.0  # identical docs -> all 8 permutations match
+
+
+def test_unigram_logprob_rare_tokens_score_higher(spark):
+    from dropbox_duckdb_playground_spark.operators import text as TX
+
+    # doc 1 repeats the common token; doc 2 is all rare tokens
+    df = _docs(spark, [(1, "a a a a a a a a"), (2, "x y z w")])
+    out = {r.doc_id: r for r in TX.unigram_logprob(df).collect()}
+    assert out[1].n_tokens == 8 and out[2].n_tokens == 4
+    assert out[2].avg_neg_log2p > out[1].avg_neg_log2p
+
+
 def test_simhash_identical_and_near(spark):
     df = _docs(
         spark,
