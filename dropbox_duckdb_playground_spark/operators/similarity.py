@@ -223,11 +223,15 @@ def ivf_ann_topk(
     )
 
     # -- train: bounded sample -> driver numpy spherical k-means --------
+    # read the sample off the RAW input (pre-fan_out): the round-robin
+    # repartition exists for the distributed assignment pass, and paying
+    # its shuffle inside the driver-side sample job is pure waste
+    raw = embeddings.select(F.col(vec_col).alias("c_vec"))
     train_cap = max(nlist * 256, 2048)
     if n_vecs is not None and n_vecs > train_cap:
-        sample = vecs.sample(fraction=min(1.0, train_cap / n_vecs), seed=seed)
+        sample = raw.sample(fraction=min(1.0, train_cap / n_vecs), seed=seed)
     else:
-        sample = vecs.limit(train_cap)
+        sample = raw.limit(train_cap)
     X = np.asarray(sample.toPandas()["c_vec"].tolist(), dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
