@@ -2544,6 +2544,75 @@ def q68_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TX.unigram_logprob(d)
 
 
+@register(
+    "q69_frame_plan",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(unnest(range(0, greatest(n_chars * 10 - 1, 0) + 1, 1000))
+               AS BIGINT) AS frame_ts_ms
+    FROM documents
+    """,
+    tags="multimodal video frame-sampling",
+)
+def q69_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling work list (multimodal.frame_sample_plan):
+    one row per (media_id, frame timestamp) — the explode that fans a
+    video into distributed decode tasks. Documents stand in for media
+    with a deterministic fake duration (n_chars x 10 ms)."""
+    from dropbox_duckdb_playground_spark.operators.multimodal import (
+        frame_sample_plan,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.lit("video").alias("modality"),
+            F.lit("video/mp4").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("bigint").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
+
+
+@register(
+    "q70_media_resize",
+    oracle="""
+    SELECT doc_id AS media_id, 50 AS width, 40 AS height,
+           md5(text || '50x40') AS content_hex
+    FROM documents
+    """,
+    tags="multimodal image resize mapInPandas",
+)
+def q70_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched image-resize stage (multimodal.resize_images) with
+    the deterministic fake codec: the output payload is the md5 digest
+    of (content || 'WxH'), so hex(content) on the Spark side must equal
+    DuckDB's md5 hex — a binary round-trip check of the whole
+    mapInPandas plumbing."""
+    from dropbox_duckdb_playground_spark.operators.multimodal import (
+        fake_image_resize,
+        resize_images,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+    )
+    out = resize_images(media, width=50, height=40, resize_fn=fake_image_resize)
+    return out.select(
+        "media_id",
+        "width",
+        "height",
+        F.lower(F.hex("content")).alias("content_hex"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
