@@ -51,6 +51,11 @@ ALLOWED = {
     # ~2^4-2^16 regardless of corpus size), so the product cannot grow
     # with data. The corpus-sized join below it is a hash equi-join.
     "q62_ivf_ann": "cartesian",
+    # scalar-subquery idiom: crossJoin(broadcast(<1-row aggregate>)) to
+    # attach the corpus token total to the frequency table. The nested-
+    # loop side is exactly one row by construction — Spark's standard
+    # shape for a scalar, and the per-token work stays a hash equi-join.
+    "q68_unigram_logprob": "cartesian",
 }
 
 
