@@ -288,10 +288,11 @@ def ngram_jaccard_pairs(
     # Force a shuffle join: the two sides are the same subplan, so their
     # sh-exchanges canonicalize equal and the shingle+digest pass runs
     # ONCE (ReusedExchange). Left to AQE, a broadcast join looks cheaper
-    # (no shuffle) but silently recomputes the expensive regex shingling
-    # on both sides — and at 100 TB the shingle table could never be
-    # broadcast anyway, so shuffle-hash is also the honest scale plan.
-    l, r = hashed.alias("l"), hashed.hint("shuffle_hash").alias("r")
+    # (no shuffle) but silently recomputes the expensive shingling on
+    # both sides — and at 100 TB the shingle table could never be
+    # broadcast anyway. Sort-merge (not shuffle-hash) so a hot-digest
+    # partition spills instead of OOMing the hash build.
+    l, r = hashed.alias("l"), hashed.hint("merge").alias("r")
     joined = l.join(
         r, (F.col("l.sh") == F.col("r.sh")) & (F.col(f"l.{key}") < F.col(f"r.{key}"))
     )

@@ -57,6 +57,9 @@ SF1_QUERIES = [
     "q47_neardup_survivors",
     "q57_group_median",
     "q62_ivf_ann",
+    "q64_jaccard_capped",
+    "q65_lsh_capped",
+    "q67_minhash_estimate",
 ]
 
 
@@ -173,7 +176,7 @@ def main() -> int:
         "corpora keep vocab growing with size. For corpora that do",
         "saturate (boilerplate), the production guards are the hot-key",
         "caps — measured at sf1: q64_jaccard_capped (max_shingle_freq)",
-        "~6.3s, q65_lsh_capped (max_bucket_size) ~3.8s — both",
+        "~4.4s, q65_lsh_capped (max_bucket_size) ~2.8s — both",
         "oracle-checked catalog queries in their own right.",
     ]
     with open(out_md, "w") as f:
