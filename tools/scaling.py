@@ -171,8 +171,11 @@ def main() -> int:
         "size by construction — measured 1.27M pairs at sf0.1 vs 126.1M",
         "at sf1 (99.6x work for 10x data). q26's wall time grew LESS than",
         "its work (37x vs 99.6x): time-per-candidate-pair improved, i.e.",
-        "the plan is linear in generated work; the growth is in the data,",
-        "and DuckDB's identical algorithm pays the same quadratic. Real",
+        "the plan is linear in generated work; the growth is in the data.",
+        "DuckDB's identical algorithm pays the same quadratic — measured",
+        "25.8s at sf1 vs 0.3s at sf0.1 (slope ~86x, steeper than Spark's",
+        "~36x): at the scale where data finally dominates overhead, Spark",
+        "runs the explosion query within 2x of the single-node baseline. Real",
         "corpora keep vocab growing with size. For corpora that do",
         "saturate (boilerplate), the production guards are the hot-key",
         "caps — measured at sf1: q64_jaccard_capped (max_shingle_freq)",
