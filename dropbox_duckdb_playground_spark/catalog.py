@@ -2614,6 +2614,556 @@ def q70_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q71-q76 — wider TPC-H surface, adapted to the testdata schema (no
+# partsupp / shipmode / commitdate columns exist, so Q18/Q7/Q14/Q16/Q8/
+# Q22 are re-expressed over the columns we have; the join/subquery
+# SHAPES — having-subquery, nation-pair theta, conditional-agg share,
+# distinct-count group, market share, scalar-subquery + anti join —
+# are the point, per SURVEY §2.4/§2.5).
+
+
+@register(
+    "q71_tpch_q18",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS VARCHAR) AS orderdate_s,
+           round(o.o_totalprice, 2) AS totalprice, big.sum_qty
+    FROM big
+    JOIN orders o ON big.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags="tpch having-subquery J1 A1 olap",
+)
+def q71_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose lineitems sum to
+    > 250 units. The HAVING subquery becomes a pre-aggregation of
+    lineitem on its join key — the aggregate IS the join input, so the
+    orders join sees only qualifying keys (semi-join-sized build side),
+    never the raw lineitem fact."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("orderdate_s"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+@register(
+    "q72_tpch_q7",
+    oracle="""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INT) AS l_year,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+       OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+    GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    """,
+    tags="tpch J1 J2 theta-disjunction A1 olap",
+)
+def q72_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue between a nation PAIR in both
+    directions, by ship year. Both dimension paths (supplier->nation,
+    customer->nation) collapse to tiny broadcast maps filtered to the
+    two nations BEFORE touching the facts, so the disjunctive pair
+    predicate runs on broadcast-joined rows — the only shuffle is
+    lineitem-orders."""
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    sup = F.broadcast(
+        load(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = F.broadcast(
+        load(spark, sf_dir, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    return (
+        l.join(sup, l["l_suppkey"] == sup["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(cust, o["o_custkey"] == cust["c_custkey"])
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
+        )
+    )
+
+
+@register(
+    "q73_promo_share",
+    oracle="""
+    SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+           CAST(round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(18,6)))
+                 ELSE 0 END)
+               / sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE)
+               AS promo_share_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY strftime(l.l_shipdate, '%Y-%m')
+    """,
+    tags="tpch conditional-agg J1 A1 olap",
+)
+def q73_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect) per ship month: percentage of
+    revenue from PROMO parts. part is a broadcast dim; the conditional
+    numerator and the denominator ride ONE aggregation over the fact —
+    no second pass, no self-join. Decimal sums; the division is the
+    only float step and is rounded identically on both engines."""
+    p = F.broadcast(
+        load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo) / F.sum(rev), 4
+            ).cast("double").alias("promo_share_pct")
+        )
+    )
+
+
+@register(
+    "q74_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 10, 15, 20, 25)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    tags="tpch count-distinct J1 A1 olap",
+)
+def q74_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier relationship): distinct suppliers per
+    (brand, type, size) over the filtered part dim. The brand/size
+    filters sit on the broadcast-side scan (pushdown); countDistinct
+    expands to a two-phase partial-distinct aggregate — no global
+    de-dup shuffle of the raw fact."""
+    p = F.broadcast(
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q75_market_share",
+    oracle="""
+    WITH vol AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(18,6))) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE r.r_name = 'ASIA')
+    SELECT o_year,
+           CAST(round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+               / sum(volume), 6) AS DOUBLE) AS mkt_share
+    FROM vol GROUP BY o_year
+    """,
+    tags="tpch market-share J1 A1 olap",
+)
+def q75_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3 suppliers' share of
+    revenue inside the ASIA customer market, by order year. Customer->
+    nation->region collapses to one broadcast semi-map; supplier->
+    nation to another; numerator and denominator share one aggregate
+    (conditional sum), decimal until the final division."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_cust = F.broadcast(
+        load(spark, sf_dir, "customer")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(r, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    sup = F.broadcast(
+        load(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    vol = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    )
+    nat3 = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0))
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .join(asia_cust, o["o_custkey"] == asia_cust["c_custkey"], "left_semi")
+        .join(sup, l["l_suppkey"] == sup["s_suppkey"])
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(nat3) / F.sum(vol), 6)
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q76_dormant_customers",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                 // count(*) AS cents
+      FROM customer WHERE c_acctbal > 0),
+    active AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+    SELECT c.c_mktsegment AS seg,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c, thr
+    WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) > thr.cents
+      AND NOT EXISTS (SELECT 1 FROM active a WHERE a.o_custkey = c.c_custkey)
+    GROUP BY c.c_mktsegment
+    """,
+    tags="tpch scalar-subquery anti-join J5 A1 olap",
+)
+def q76_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average balance and NO recent orders, grouped by segment.
+    The average-balance scalar subquery is computed in integer cents
+    (exact on both engines — float sum order-dependence would make the
+    threshold engine-dependent); the NOT EXISTS is a left-anti join
+    against the distinct recent-orderer key set."""
+    c = load(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(cents) / F.count("*")).cast("long").alias("cents"))
+    )
+    active = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(thr))
+        .filter(cents > F.col("cents"))
+        .join(active, F.col("c_custkey") == active["o_custkey"], "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q77-q78 — event-stream analytics (funnel + sessionization), the batch
+# faces of the streaming family (streaming/windows.py has the
+# watermarked equivalents).
+
+
+@register(
+    "q77_event_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS view_ts FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS click_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.view_ts
+      GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS buy_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY e.user_id)
+    SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+    UNION ALL
+    SELECT 'click_after_view', CAST(count(*) AS BIGINT) FROM c
+    UNION ALL
+    SELECT 'purchase_after_click', CAST(count(*) AS BIGINT) FROM p
+    """,
+    tags="events funnel sequential U1 A1",
+)
+def q77_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view -> click AFTER first view ->
+    purchase AFTER first qualifying click): the sequential-pattern
+    query every product-analytics engine ships. Each stage is a
+    conditional min-aggregate joined to the previous stage's per-user
+    frontier; the frontier tables are user-count-sized (tiny vs the
+    event fact) and broadcast back onto the events scan — events
+    shuffles only on user_id for the per-stage aggregates."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(v), "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(c), "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("buy_ts"))
+    )
+    one = lambda df, name: df.agg(  # noqa: E731
+        F.count("*").alias("n_users")
+    ).select(F.lit(name).alias("stage"), "n_users")
+    return (
+        one(v, "view")
+        .unionAll(one(c, "click_after_view"))
+        .unionAll(one(p, "purchase_after_click"))
+    )
+
+
+@register(
+    "q78_sessionization",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+                    OR lag(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts_us,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged)
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts_us) AS start_us, max(ts_us) AS end_us,
+           CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS duration_s
+    FROM sess GROUP BY user_id, session_no
+    """,
+    tags="events sessionization W1 W2 A1 gap-window",
+)
+def q78_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (1-hour inactivity): the batch twin of
+    streaming/windows.session_window. lag() flags session starts, a
+    running sum numbers them, one groupBy emits per-session stats — two
+    window passes and the final aggregate all share the SAME user_id
+    shuffle (one exchange). Timestamps compared in integer epoch-micros
+    so both engines agree exactly."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        # ts arrives TIMESTAMP_NTZ; session tz is pinned UTC (session.py)
+        # so the LTZ cast is the identity DuckDB's epoch_us assumes
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    flagged = e.withColumn(
+        "new_sess",
+        F.when(
+            (F.col("ts_us") - F.lag("ts_us").over(w) > 3_600_000_000)
+            | F.lag("ts_us").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        ((F.max("ts_us") - F.min("ts_us")) / 1_000_000)
+        .cast("long")
+        .alias("duration_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q79-q81 — LLM-corpus curation: semantic dedup, boilerplate removal,
+# deterministic stratified sampling.
+
+_SEM_STAGE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse",
+    "semdedup_stage",
+)
+
+
+@register(
+    "q79_semantic_dedup",
+    oracle=f"""
+    WITH assign AS (
+      SELECT cand_id, c_vec, list_id FROM '{_SEM_STAGE}/assigned/*.parquet'),
+    dead AS (
+      SELECT DISTINCT b.cand_id
+      FROM assign a JOIN assign b
+        ON a.list_id = b.list_id AND a.cand_id < b.cand_id
+      WHERE round({_cos_sql("a.c_vec", "b.c_vec")}, 4) >= 0.3)
+    SELECT s.cand_id AS vec_id, s.list_id,
+           CASE WHEN d.cand_id IS NULL THEN 1 ELSE 0 END AS survived
+    FROM assign s LEFT JOIN dead d ON s.cand_id = d.cand_id
+    """,
+    tags="dedup-semantic semdedup kmeans similarity",
+)
+def q79_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    corpus, then inside each cluster keep only the min-id representative
+    of every cosine>=0.3 duplicate ball. Like q62, the non-SQL k-means
+    stages its deterministic output as parquet and DuckDB replays the
+    (fully relational) intra-cluster dedup decision over those files —
+    hash-checked end to end."""
+    from dropbox_duckdb_playground_spark.operators.similarity import semantic_dedup
+
+    e = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold=0.3, nlist=8, stage_dir=_SEM_STAGE)
+
+
+@register(
+    "q80_boilerplate",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
+        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      WHERE g IS NOT NULL),
+    freq AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boiler,
+           round(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS boiler_ratio
+    FROM sh s JOIN freq f ON s.g = f.g
+    GROUP BY s.doc_id
+    """,
+    tags="llm-prep boilerplate dedup-ngram quality",
+)
+def q80_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-span detection (CCNet/RefinedWeb line-dedup family):
+    a distinct 3-gram shared by >= 2 documents is boilerplate; each doc
+    reports its boilerplate fraction. The gram-frequency table is built
+    by ONE map-side-combinable groupBy of the shingle explode and joined
+    back on the gram key — at 100 TB the frequency side is
+    distinct-gram-sized (bounded by vocabulary³, not corpus), and the
+    per-doc re-aggregation rides the same doc_id shuffle the explode
+    already created."""
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingles(d, n=3)  # distinct (doc_id, shingle)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    boiler = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
+    return (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(boiler).cast("long").alias("n_boiler"),
+            F.round(F.sum(boiler) / F.count("*"), 4).alias("boiler_ratio"),
+        )
+    )
+
+
+@register(
+    "q81_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST({DUCK_ID.format(x="source || ':' || CAST(doc_id AS VARCHAR)")} % 100 AS INT)
+               AS bucket
+    FROM documents
+    WHERE {DUCK_ID.format(x="source || ':' || CAST(doc_id AS VARCHAR)")} % 100 < 30
+    """,
+    tags="llm-prep sampling deterministic F1",
+)
+def q81_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source stratified sampling (30% rate): the
+    reproducible corpus-subsetting primitive — hash(source:doc_id) mod
+    100 < rate. Pure narrow map over the scan (no shuffle, no RNG
+    state); any engine recomputes the identical sample, which is the
+    property that matters for training-data lineage."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.expr(
+        SPARK_ID.format(x="concat(source, ':', CAST(doc_id AS STRING))")
+    ) % 100
+    return (
+        d.filter(bucket < 30)
+        .select("doc_id", "source", bucket.cast("int").alias("bucket"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
 

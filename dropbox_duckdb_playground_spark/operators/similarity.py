@@ -181,39 +181,34 @@ def cosine_neardup_pairs(
     )
 
 
-def ivf_ann_topk(
+def ivf_assign(
     embeddings: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     nlist: int = 16,
-    nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
     n_vecs: int | None = None,
     stage_dir: str | None = None,
-) -> DataFrame:
-    """IVF (inverted-file) ANN: spherical k-means coarse quantizer ->
-    per-centroid posting lists -> probe the ``nprobe`` nearest lists per
-    query -> exact cosine re-rank inside the probed lists.
+) -> tuple[DataFrame, DataFrame]:
+    """Train a spherical k-means coarse quantizer and assign every vector
+    to its nearest centroid. Returns ``(assigned, centroids)`` where
+    ``assigned`` is (cand_id, c_vec, list_id) and ``centroids`` is
+    (list_id, centroid).
 
-    The scale path when LSH recall is insufficient. The quantizer is
-    trained DRIVER-SIDE on a bounded seeded sample (max(nlist*256, 2048)
-    rows — the FAISS practice: a coarse quantizer needs a few hundred
-    points per centroid, never the corpus), so training costs
-    milliseconds and is independent of corpus size; the corpus is only
-    touched by ONE Arrow-vectorized assignment pass (numpy matmul per
-    batch) and the probed-list scoring join. Output schema matches
-    `cosine_topk` (query_id, cand_id, cosine).
+    The quantizer is trained DRIVER-SIDE on a bounded seeded sample
+    (max(nlist*256, 2048) rows — the FAISS practice: a coarse quantizer
+    needs a few hundred points per centroid, never the corpus), so
+    training costs milliseconds and is independent of corpus size; the
+    corpus is only touched by ONE Arrow-vectorized assignment pass
+    (numpy matmul per batch).
 
-    The k-means itself is not SQL-expressible, but the probe + re-rank
-    ARE: pass ``stage_dir`` to stage the (cand_id, c_vec, list_id)
-    assignment and the centroid table as parquet, so an external oracle
-    (DuckDB) can replay everything downstream of the quantizer.
-    Training reads ``limit(train_cap)`` — an early-stopping scan, NOT a
-    full-corpus count; pass ``n_vecs`` (corpus size hint) to switch to
-    an unbiased seeded fraction sample when the input's physical order
-    is correlated with cluster structure."""
+    The k-means itself is not SQL-expressible, but everything downstream
+    IS: pass ``stage_dir`` to stage the assignment and centroid table as
+    parquet so an external oracle (DuckDB) can replay it. Training reads
+    ``limit(train_cap)`` — an early-stopping scan, NOT a full-corpus
+    count; pass ``n_vecs`` (corpus size hint) to switch to an unbiased
+    seeded fraction sample when the input's physical order is correlated
+    with cluster structure."""
     import numpy as np
 
     from dropbox_duckdb_playground_spark.operators.relational import fan_out
@@ -275,6 +270,35 @@ def ivf_ann_topk(
         cent_df.write.mode("overwrite").parquet(os.path.join(stage_dir, "centroids"))
     else:
         assigned = materialize(vecs.mapInPandas(assign_lists, schema=out_schema))
+    return assigned, cent_df
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    n_vecs: int | None = None,
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: spherical k-means coarse quantizer
+    (``ivf_assign``) -> per-centroid posting lists -> probe the
+    ``nprobe`` nearest lists per query -> exact cosine re-rank inside
+    the probed lists. The scale path when LSH recall is insufficient.
+    Output schema matches `cosine_topk` (query_id, cand_id, cosine)."""
+    assigned, cent_df = ivf_assign(
+        embeddings,
+        nlist=nlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        n_vecs=n_vecs,
+        stage_dir=stage_dir,
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -302,4 +326,64 @@ def ivf_ann_topk(
         scored.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") <= k)
         .drop("__rn__")
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    n_vecs: int | None = None,
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with a coarse k-means
+    quantizer (``ivf_assign``), then WITHIN each cluster drop every
+    vector that has a lower-id neighbor with cosine >= threshold — the
+    deterministic min-id representative rule. The pairwise comparison
+    never crosses cluster boundaries, so the cost is sum(|cluster|**2)/2
+    instead of |corpus|**2/2; at 100 TB nlist scales with corpus size
+    (FAISS practice ~sqrt(N)) keeping clusters bounded, and the
+    intra-cluster self-join shuffles only on list_id.
+
+    Output: (vec_id, list_id, survived) with survived in {0,1}. Pass
+    ``stage_dir`` to stage the quantizer output so an external oracle
+    can replay the (SQL-expressible) dedup decision."""
+    assigned, _ = ivf_assign(
+        embeddings,
+        nlist=nlist,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        n_vecs=n_vecs,
+        stage_dir=stage_dir,
+    )
+    # identical subplans + forced sort-merge join -> the assignment scan
+    # canonicalizes to ONE exchange (ReusedExchange), same pattern as
+    # cosine_neardup_pairs
+    l, r = assigned.alias("l"), assigned.hint("merge").alias("r")
+    dead = (
+        l.join(
+            r,
+            (F.col("l.list_id") == F.col("r.list_id"))
+            & (F.col("l.cand_id") < F.col("r.cand_id")),
+        )
+        .filter(
+            F.round(cosine(F.col("l.c_vec"), F.col("r.c_vec")), 4) >= threshold
+        )
+        .select(F.col("r.cand_id").alias("cand_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dead.withColumn("__dead__", F.lit(1)), "cand_id", "left")
+        .select(
+            F.col("cand_id").alias(id_col),
+            "list_id",
+            F.when(F.col("__dead__").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("survived"),
+        )
     )

@@ -91,3 +91,36 @@ def test_ivf_ann_recall_vs_brute_force(spark):
     # probing the single nearest of 2 clean clusters must recover most
     # exact neighbors
     assert len(a & e) / len(e) >= 0.8
+
+
+def test_semantic_dedup_drops_only_within_cluster(spark):
+    from dropbox_duckdb_playground_spark.operators.similarity import semantic_dedup
+
+    # cluster A: three near-identical vectors (ids 1,2,3) -> keep min id
+    # cluster B: one lone orthogonal-ish vector (id 9) -> survives
+    a = [1.0, 0.0, 0.0, 0.0]
+    a2 = [1.0, 0.02, 0.0, 0.0]
+    a3 = [0.99, 0.0, 0.01, 0.0]
+    b = [0.0, 0.0, 1.0, 0.0]
+    df = spark.createDataFrame(
+        [(1, a), (2, a2), (3, a3), (9, b)], "vec_id int, embedding array<float>"
+    )
+    out = semantic_dedup(df, threshold=0.99, nlist=2, seed=7).collect()
+    got = {r["vec_id"]: r["survived"] for r in out}
+    assert got == {1: 1, 2: 0, 3: 0, 9: 1}
+    # survivors keep their cluster assignment
+    lists = {r["vec_id"]: r["list_id"] for r in out}
+    assert lists[1] == lists[2] == lists[3]
+    assert lists[9] != lists[1]
+
+
+def test_semantic_dedup_min_id_is_the_representative(spark):
+    from dropbox_duckdb_playground_spark.operators.similarity import semantic_dedup
+
+    # all four near-identical -> exactly one survivor: the smallest id
+    base = [3.0, 1.0, -2.0, 0.5]
+    rows = [(i, [v + i * 1e-4 for v in base]) for i in (5, 11, 2, 8)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = semantic_dedup(df, threshold=0.999, nlist=1, seed=1).collect()
+    survivors = sorted(r["vec_id"] for r in out if r["survived"] == 1)
+    assert survivors == [2]
