@@ -3164,6 +3164,568 @@ def q81_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q82-q88 — remaining TPC-H query shapes adaptable to the testdata schema
+# (no partsupp table, no commit/receipt dates -> "late" is derived from
+# l_shipdate vs o_orderdate; reference analog: the OLAP query surface of
+# batch_framework's SQL layer).
+
+_US_60D = 60 * 86_400 * 1_000_000
+_US_90D = 90 * 86_400 * 1_000_000
+
+
+@register(
+    "q82_tpch_q4",
+    oracle=f"""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) + {_US_60D})
+    GROUP BY o.o_orderpriority
+    """,
+    tags="tpch J4 exists A1 olap",
+)
+def q82_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking): 1996 orders with at least one
+    lineitem shipped >60 days after the order date ("late" stands in for
+    commit<receipt, which the schema lacks), counted per priority. The
+    EXISTS becomes a LEFT SEMI join whose extra theta predicate rides
+    the equi-join on orderkey — one shuffle, no dedup pass, and the
+    probe side carries only 3 columns."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_us"),
+        )
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("l_us"),
+    )
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_us"] > o["o_us"] + _US_60D),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("order_count")
+    )
+
+
+@register(
+    "q83_tpch_q12",
+    oracle="""
+    SELECT l.l_returnflag AS ship_mode,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    """,
+    tags="tpch J1 conditional-agg A1 olap",
+)
+def q83_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes): lines shipped in 1997 split into
+    high/low-priority counts per mode (l_returnflag stands in for the
+    absent l_shipmode). The year filter prunes the fact scan BEFORE the
+    orderkey shuffle; both CASE branches ride one aggregation — no
+    second pass over the join."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy(F.col("l_returnflag").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q84_tpch_q13",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey)
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(count(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+    tags="tpch J1-left filtered-join A1 two-level-agg olap",
+)
+def q84_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order-count distribution): orders per
+    customer — KEEPING zero-order customers via the left join — then the
+    histogram of those counts. The priority exclusion lives in the join
+    condition (not a WHERE, which would drop the zero rows). First agg
+    reuses the join's custkey partitioning; the histogram shuffle is
+    distribution-sized."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    joined = c.join(
+        o,
+        (c["c_custkey"] == o["o_custkey"]) & (o["o_orderpriority"] != "5-LOW"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@register(
+    "q85_tpch_q15",
+    oracle="""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                 * (1 - CAST(l_discount AS DECIMAL(18,6)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(round(r.total_rev, 2) AS DOUBLE) AS total_revenue
+    FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    tags="tpch A4-global scalar-subquery J1 olap",
+)
+def q85_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) with the maximum revenue in
+    1997Q1. The scalar max attaches via crossJoin(broadcast(1-row agg))
+    — the q68 scalar-subquery idiom — instead of a global window, so no
+    single-partition sort ever materializes. Revenue is summed in
+    DECIMAL, making the equality against the max exact on both engines
+    (float sums would make `= max` order-dependent)."""
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,6)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+            ).alias("total_rev")
+        )
+    )
+    top = rev.crossJoin(
+        F.broadcast(rev.agg(F.max("total_rev").alias("max_rev")))
+    ).filter(F.col("total_rev") == F.col("max_rev"))
+    s = F.broadcast(
+        load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return top.join(s, top["l_suppkey"] == s["s_suppkey"]).select(
+        "s_suppkey",
+        "s_name",
+        F.round("total_rev", 2).cast("double").alias("total_revenue"),
+    )
+
+
+@register(
+    "q86_tpch_q17",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = 'Brand#1'),
+    agg AS (
+      SELECT l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+             count(*) AS n
+      FROM li GROUP BY l_partkey)
+    SELECT CAST(round(CAST(sum(CAST(li.l_extendedprice AS DECIMAL(18,6)))
+                           AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM li JOIN agg ON li.l_partkey = agg.l_partkey
+    WHERE CAST(li.l_quantity AS DECIMAL(18,6)) * 2 * agg.n < agg.sum_qty
+    """,
+    tags="tpch correlated-avg self-agg-join A1 olap",
+)
+def q86_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): yearly revenue lost if
+    Brand#1 orders below half the part's average quantity stopped. The
+    correlated AVG becomes a per-part pre-aggregation joined back to the
+    SAME lineitem branch — both sides share one l_partkey shuffle.
+    The half-average test is rewritten exactly: qty < 0.5*sum/n
+    <=> 2*qty*n < sum, in DECIMAL, so no float-division boundary can
+    disagree between engines."""
+    p = F.broadcast(
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    agg = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+    small = li.join(agg, "l_partkey").filter(
+        F.col("l_quantity").cast("decimal(18,6)") * 2 * F.col("n")
+        < F.col("sum_qty")
+    )
+    return small.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+            / 7.0,
+            2,
+        )
+        .cast("double")
+        .alias("avg_yearly")
+    )
+
+
+@register(
+    "q87_tpch_q19",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,6)))), 2)
+                AS DOUBLE) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 40)
+    GROUP BY p.p_brand
+    """,
+    tags="tpch J1 theta-disjunction A1 olap",
+)
+def q87_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): three
+    brand/size/quantity bands OR-ed together. Every disjunct pins a
+    brand, so the implied `p_brand IN (...)` is applied to the dim
+    BEFORE the broadcast join — the part scan prunes to 3 brands and
+    the fact join stays broadcast; the mixed-side disjunction then
+    filters joined rows without a second pass."""
+    p = F.broadcast(
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    band = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .filter(band)
+        .groupBy("p_brand")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
+                ),
+                2,
+            ).cast("double").alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q88_tpch_q21",
+    oracle=f"""
+    WITH l1 AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN epoch_us(l.l_shipdate)
+                       > epoch_us(o.o_orderdate) + {_US_90D}
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'),
+    per_supp AS (
+      SELECT l_orderkey, l_suppkey, max(late) AS late
+      FROM l1 GROUP BY l_orderkey, l_suppkey),
+    per_ord AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+      FROM per_supp GROUP BY l_orderkey)
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per_supp ps
+    JOIN per_ord po ON ps.l_orderkey = po.l_orderkey
+    JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+    WHERE ps.late = 1 AND po.n_supp > 1 AND po.n_late = 1
+    GROUP BY s.s_name
+    """,
+    tags="tpch J4 J5 exists-not-exists A1 olap",
+)
+def q88_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): on finished
+    multi-supplier orders, count per supplier the orders where it was
+    the ONLY late supplier (late = shipped >90 days after order date).
+    The EXISTS/NOT-EXISTS pair collapses to per-order counts: after the
+    orders join, the (orderkey,suppkey) rollup, the per-order rollup,
+    and the ps-po join ALL reuse the one orderkey hash partitioning —
+    no second fact shuffle; supplier attaches by broadcast."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(
+            "o_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_us"),
+        )
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")).alias("l_us"),
+    )
+    l1 = l.join(o, l["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(F.col("l_us") > F.col("o_us") + _US_90D, 1).otherwise(0).alias("late"),
+    )
+    per_supp = l1.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("late").alias("late")
+    )
+    per_ord = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    waiting = (
+        per_supp.join(per_ord, "l_orderkey")
+        .filter(
+            (F.col("late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+    )
+    s = F.broadcast(load(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        waiting.join(s, waiting["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q89-q91 — LLM-corpus curation, continued: corpus-wide chunk dedup,
+# sequence packing, kNN label propagation.
+
+
+@register(
+    "q89_chunk_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE len(trim(text)) > 0),
+    starts AS (
+      SELECT doc_id, t, unnest(range(0, greatest(len(t) - 1, 0) + 1, 20)) AS s
+      FROM toks),
+    ch AS (
+      SELECT doc_id, CAST(s / 20 AS BIGINT) AS chunk_id,
+             CAST(len(t[s + 1 : s + 20]) AS BIGINT) AS n_tokens,
+             array_to_string(t[s + 1 : s + 20], ' ') AS chunk_text
+      FROM starts),
+    flagged AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN row_number() OVER (PARTITION BY chunk_text
+                                          ORDER BY doc_id, chunk_id) > 1
+                  THEN 1 ELSE 0 END AS dup
+      FROM ch)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(dup) AS BIGINT) AS n_dup,
+           CAST(sum(CASE WHEN dup = 0 THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS kept_tokens
+    FROM flagged GROUP BY doc_id
+    """,
+    tags="llm-prep dedup-chunk exact-dedup chunking",
+)
+def q89_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact chunk dedup (the doc-level twin of line dedup in
+    CCNet): split every document into non-overlapping 20-token windows,
+    keep only the FIRST occurrence (by doc_id, chunk_id) of each
+    repeated chunk, report per-doc retained token mass. One shuffle on
+    the chunk text for the first-occurrence window, one on doc_id for
+    the rollup; at 100 TB the dedup key would be a 128-bit digest of the
+    chunk instead of the string — same plan shape."""
+    d = load(spark, sf_dir, "documents")
+    ch = TX.chunk_documents(d, chunk_tokens=20, overlap=0)
+    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_id")
+    flagged = ch.withColumn(
+        "dup", F.when(F.row_number().over(w) > 1, 1).otherwise(0)
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum("dup").cast("long").alias("n_dup"),
+        F.sum(F.when(F.col("dup") == 0, F.col("n_tokens")).otherwise(0))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+
+
+@register(
+    "q90_sequence_packing",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents WHERE len(trim(text)) > 0),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             COALESCE(sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS cum_before
+      FROM d)
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_before // 1000 AS BIGINT) AS bin_id,
+           CAST(cum_before % 1000 AS BIGINT) AS bin_offset
+    FROM c
+    """,
+    tags="llm-prep packing window-cumsum W1",
+)
+def q90_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing planner (GPT-style concat-and-chunk pretraining
+    batches): docs are concatenated per source in doc_id order and cut
+    into 1000-token bins; each doc learns its bin and offset from the
+    running token total BEFORE it. One window over the per-source
+    shuffle — no pairwise bin-packing search (first-fit-decreasing
+    doesn't distribute; deterministic scan-order packing does, and is
+    what pretraining pipelines actually run). At 100 TB sources are
+    sub-sharded by hash(doc_id) ranges to bound partition width."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.size(TX.tokens_col("text")).cast("long").alias("n_tokens"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.withColumn("cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr("CAST(cum_before div 1000 AS BIGINT)").alias("bin_id"),
+        (F.col("cum_before") % 1000).cast("long").alias("bin_offset"),
+    )
+
+
+@register(
+    "q91_knn_classify",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, label AS true_label
+      FROM embeddings WHERE vec_id % 20 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id, c.label AS cand_label,
+             round({_cos_sql("q.qv", "c.embedding")}, 4) AS cosine
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id),
+    knn AS (
+      SELECT query_id, cand_label FROM (
+        SELECT query_id, cand_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, cand_id ASC) AS rn
+        FROM scored) WHERE rn <= 10),
+    tally AS (
+      SELECT query_id, cand_label, count(*) AS n
+      FROM knn GROUP BY query_id, cand_label),
+    pred AS (
+      SELECT query_id, cand_label AS pred_label, CAST(n AS BIGINT) AS votes
+      FROM (SELECT query_id, cand_label, n,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY n DESC, cand_label ASC) AS rn
+            FROM tally) WHERE rn = 1)
+    SELECT p.query_id, q.true_label, p.pred_label, p.votes,
+           CAST(CASE WHEN p.pred_label = q.true_label THEN 1 ELSE 0 END AS INT)
+               AS correct
+    FROM pred p JOIN q ON p.query_id = q.query_id
+    """,
+    tags="similarity-knn label-propagation classify A4",
+)
+def q91_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label propagation (the weak-labeling primitive for corpus
+    curation): every 20th vector is a query, its label predicted by
+    majority vote of its 10 exact cosine neighbors; output truth vs
+    prediction per query. Reuses q28's brute-force top-k (broadcast
+    query block x corpus — the documented recall baseline; q36/q62 are
+    the scale paths), then the vote is a tiny two-level aggregation with
+    a deterministic (votes DESC, label ASC) tie-break."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 20 == 0)
+    nn = cosine_topk(e, q, k=10)  # (query_id, cand_id, cosine)
+    labels = e.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label"))
+    tally = (
+        nn.join(labels, "cand_id")
+        .groupBy("query_id", "cand_label")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n"), F.asc("cand_label"))
+    pred = (
+        tally.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .select(
+            "query_id",
+            F.col("cand_label").alias("pred_label"),
+            F.col("n").cast("long").alias("votes"),
+        )
+    )
+    truth = e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    return pred.join(truth, "query_id").select(
+        "query_id",
+        "true_label",
+        "pred_label",
+        "votes",
+        (F.col("pred_label") == F.col("true_label")).cast("int").alias("correct"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
 

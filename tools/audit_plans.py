@@ -56,6 +56,12 @@ ALLOWED = {
     # loop side is exactly one row by construction — Spark's standard
     # shape for a scalar, and the per-token work stays a hash equi-join.
     "q68_unigram_logprob": "cartesian",
+    # same scalar-subquery idiom as q68: the broadcast side is the
+    # 1-row global max-revenue aggregate.
+    "q85_tpch_q15": "cartesian",
+    # reuses q28's brute-force exact-kNN baseline (bounded query block
+    # broadcast x corpus); q36 LSH / q62 IVF are the scale paths.
+    "q91_knn_classify": "cartesian",
 }
 
 
