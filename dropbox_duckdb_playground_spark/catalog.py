@@ -3726,6 +3726,392 @@ def q91_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q92-q97 — iterative graph rank, deterministic sketches (HLL /
+# Count-Min / Bloom), and the remaining ANSI window / unpivot surface.
+
+_PR_SCALE = 1_000_000_000_000
+
+
+def _pagerank_oracle(iterations: int = 3) -> str:
+    """Unrolled integer-PageRank CTE chain mirroring operators.
+    components.pagerank step for step (same div-100 damping order)."""
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT DISTINCT 'C' || CAST(o.o_custkey AS VARCHAR) AS src,
+             'S' || CAST(l.l_suppkey AS VARCHAR) AS dst
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    nd AS (
+      SELECT 'C' || CAST(c_custkey AS VARCHAR) AS node FROM customer
+      UNION
+      SELECT 'S' || CAST(s_suppkey AS VARCHAR) FROM supplier),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS outdeg
+            FROM e GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nd),
+    r0 AS (SELECT nd.node, deg.outdeg,
+                  CAST({_PR_SCALE} // nn.n AS BIGINT) AS r
+           FROM nd LEFT JOIN deg ON nd.node = deg.node, nn)"""
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    c{i} AS (SELECT e.dst AS node,
+                  CAST(sum(r{p}.r // r{p}.outdeg) AS BIGINT) AS contrib
+           FROM e JOIN r{p} ON e.src = r{p}.node
+           WHERE r{p}.outdeg IS NOT NULL GROUP BY e.dst),
+    d{i} AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT) AS dang
+           FROM r{p} WHERE outdeg IS NULL),
+    r{i} AS (SELECT r{p}.node, r{p}.outdeg,
+                  CAST(((15 * ({_PR_SCALE} // nn.n)) // 100)
+                       + ((85 * (coalesce(c{i}.contrib, 0)
+                                 + (d{i}.dang // nn.n))) // 100)
+                       AS BIGINT) AS r
+           FROM r{p} LEFT JOIN c{i} ON r{p}.node = c{i}.node, d{i}, nn)"""
+        )
+    parts.append(
+        f"""
+    SELECT node, r AS rank FROM r{iterations} WHERE node LIKE 'S%'
+    """
+    )
+    return "".join(parts)
+
+
+@register(
+    "q92_pagerank",
+    oracle=_pagerank_oracle(3),
+    tags="graph pagerank iterative E7-family",
+)
+def q92_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations) over the customer->supplier purchase
+    graph, all-integer arithmetic so an iterative algorithm becomes
+    hash-checkable across engines (float PageRank differs in the low
+    bits per partition-sum order). Edges + degrees materialize once;
+    each iteration is one node-sized shuffle join against them plus a
+    1-row dangling-mass broadcast. Returns the supplier ranks."""
+    from dropbox_duckdb_playground_spark.operators.components import pagerank
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(
+            F.concat(F.lit("C"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+    )
+    nodes = (
+        load(spark, sf_dir, "customer")
+        .select(F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias("node"))
+        .union(
+            load(spark, sf_dir, "supplier").select(
+                F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("node")
+            )
+        )
+    )
+    pr = pagerank(edges, nodes, iterations=3, scale=_PR_SCALE, damping_pct=85)
+    return pr.filter(F.col("node").startswith("S"))
+
+
+@register(
+    "q93_hll_distinct",
+    oracle=f"""
+    WITH vals AS (
+      SELECT 'l_orderkey' AS col_name, CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+      UNION ALL
+      SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem),
+    h AS (SELECT col_name, v,
+                 {DUCK_ID.format(x="'hll:' || v")} AS h
+          FROM vals),
+    b AS (SELECT col_name, h % 64 AS bucket, h // 64 AS w FROM h),
+    rho AS (SELECT col_name, bucket,
+                   CASE WHEN w = 0 THEN 55 ELSE 55 - len(bin(w)) END AS rho
+            FROM b),
+    regs AS (SELECT col_name, bucket, max(rho) AS reg
+             FROM rho GROUP BY col_name, bucket),
+    spine AS (SELECT c.col_name, g.bucket
+              FROM (SELECT DISTINCT col_name FROM vals) c
+              CROSS JOIN (SELECT unnest(range(64)) AS bucket) g),
+    fullr AS (SELECT s.col_name, s.bucket, coalesce(r.reg, 0) AS reg
+              FROM spine s LEFT JOIN regs r
+                ON s.col_name = r.col_name AND s.bucket = r.bucket),
+    sums AS (SELECT col_name,
+                    CAST(sum(CAST(1 AS BIGINT) << (55 - reg)) AS BIGINT) AS s
+             FROM fullr GROUP BY col_name),
+    est AS (SELECT col_name,
+                   CAST(floor(CAST(0.709 AS DOUBLE) * 64 * 64
+                              * 36028797018963968.0
+                              / CAST(s AS DOUBLE)) AS BIGINT) AS hll_estimate
+            FROM sums),
+    exact AS (SELECT col_name, CAST(count(DISTINCT v) AS BIGINT) AS exact_distinct
+              FROM vals GROUP BY col_name)
+    SELECT e.col_name, e.hll_estimate, x.exact_distinct,
+           CAST(round(100.0 * (e.hll_estimate - x.exact_distinct)
+                      / x.exact_distinct, 2) AS DOUBLE) AS err_pct
+    FROM est e JOIN exact x ON e.col_name = x.col_name
+    """,
+    tags="sketch hll approx-distinct audit",
+)
+def q93_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog cardinality audit over three lineitem
+    key columns — a sketch whose ESTIMATE is itself oracle-checkable
+    because every degree of freedom (portable md5 hash, integer-shift
+    register sums, one final double division) is pinned (sketches.py).
+    One scan builds all three sketches via a stacked long-form
+    projection; the shuffle carries <=64 partial maxima per column."""
+    from dropbox_duckdb_playground_spark.operators import sketches as SK
+
+    li = load(spark, sf_dir, "lineitem")
+    regs = None
+    exacts = None
+    long_form = None
+    for c in ("l_orderkey", "l_partkey", "l_suppkey"):
+        part = li.select(
+            F.lit(c).alias("col_name"), F.col(c).cast("string").alias("v")
+        )
+        long_form = part if long_form is None else long_form.unionAll(part)
+    for c in ("l_orderkey", "l_partkey", "l_suppkey"):
+        r = SK.hll_registers(
+            long_form.filter(F.col("col_name") == c).select("v"), "v", label=c
+        )
+        regs = r if regs is None else regs.unionAll(r)
+    est = SK.hll_estimate(regs)
+    exact = long_form.groupBy("col_name").agg(
+        F.countDistinct("v").alias("exact_distinct")
+    )
+    return est.join(exact, "col_name").select(
+        "col_name",
+        "hll_estimate",
+        "exact_distinct",
+        F.round(
+            100.0
+            * (F.col("hll_estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            2,
+        ).cast("double").alias("err_pct"),
+    )
+
+
+@register(
+    "q94_countmin_freq",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents),
+    fan AS (
+      SELECT t.tok, g.i,
+             {DUCK_ID.format(x="'cm' || CAST(g.i AS VARCHAR) || ':' || t.tok")} % 256
+                 AS bucket
+      FROM toks t CROSS JOIN (SELECT unnest(range(4)) AS i) g),
+    cells AS (SELECT i, bucket, CAST(count(*) AS BIGINT) AS cnt
+              FROM fan GROUP BY i, bucket),
+    keys AS (SELECT DISTINCT tok FROM toks),
+    kh AS (
+      SELECT k.tok, g.i,
+             {DUCK_ID.format(x="'cm' || CAST(g.i AS VARCHAR) || ':' || k.tok")} % 256
+                 AS bucket
+      FROM keys k CROSS JOIN (SELECT unnest(range(4)) AS i) g),
+    est AS (SELECT kh.tok,
+                   CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cm_estimate
+            FROM kh LEFT JOIN cells c ON kh.i = c.i AND kh.bucket = c.bucket
+            GROUP BY kh.tok),
+    truth AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt
+              FROM toks GROUP BY tok)
+    SELECT e.tok, e.cm_estimate, t.true_cnt,
+           CAST(e.cm_estimate - t.true_cnt AS BIGINT) AS overcount
+    FROM est e JOIN truth t ON e.tok = t.tok
+    """,
+    tags="sketch count-min frequency audit",
+)
+def q94_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Count-Min frequency sketch over the corpus token
+    stream, audited against exact counts (overcount >= 0 always — the
+    one-sided error CM guarantees). The d x w counter matrix is built by
+    ONE map-side-combined groupBy of an in-plan 4-way fan-out; estimates
+    join the distinct-token set against the broadcast 1024-cell table.
+    At 100 TB the sketch side stays 1024 rows no matter the corpus."""
+    from dropbox_duckdb_playground_spark.operators import sketches as SK
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TX.tokens_col("text")).alias("tok"))
+    cells = SK.countmin_cells(toks, "tok")
+    keys = toks.distinct()
+    est = SK.countmin_estimates(cells, keys, "tok")
+    truth = toks.groupBy("tok").agg(F.count("*").alias("true_cnt"))
+    return est.join(truth, "tok").select(
+        "tok",
+        "cm_estimate",
+        "true_cnt",
+        (F.col("cm_estimate") - F.col("true_cnt")).cast("long").alias("overcount"),
+    )
+
+
+@register(
+    "q95_bloom_contamination",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, trim(text) AS t FROM documents),
+    pos AS (
+      SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(t, '\\s+'), 1) AS pos
+      FROM toks),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                   AS shingle
+        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      WHERE shingle IS NOT NULL),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    bits AS (
+      SELECT DISTINCT
+             {DUCK_ID.format(x="'bf' || CAST(g.i AS VARCHAR) || ':' || b.shingle")} % 65536
+                 AS bit
+      FROM bench b CROSS JOIN (SELECT unnest(range(4)) AS i) g),
+    train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+    th AS (
+      SELECT t.doc_id, t.shingle,
+             {DUCK_ID.format(x="'bf' || CAST(g.i AS VARCHAR) || ':' || t.shingle")} % 65536
+                 AS bit
+      FROM train t CROSS JOIN (SELECT unnest(range(4)) AS i) g),
+    marked AS (
+      SELECT th.doc_id, th.shingle, count(bits.bit) AS nset
+      FROM th LEFT JOIN bits ON th.bit = bits.bit
+      GROUP BY th.doc_id, th.shingle),
+    hits AS (
+      SELECT m.doc_id,
+             CASE WHEN m.nset = 4 THEN 1 ELSE 0 END AS inb,
+             CASE WHEN be.shingle IS NULL THEN 0 ELSE 1 END AS ine
+      FROM marked m LEFT JOIN bench be ON m.shingle = be.shingle)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(inb) AS BIGINT) AS n_bloom_hits,
+           CAST(sum(ine) AS BIGINT) AS n_exact_hits,
+           CAST(sum(inb) - sum(ine) AS BIGINT) AS n_false_pos
+    FROM hits GROUP BY doc_id
+    """,
+    tags="sketch bloom decontamination dedup",
+)
+def q95_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter pre-screen for benchmark decontamination (the scale
+    path for q48): the bench shingle set compresses to <=65536 bit
+    positions — broadcastable at ANY bench size — and the train side
+    probes it with one equi-join; the exact join then runs only to
+    measure the false-positive rate per doc. Deterministic md5 bit
+    positions make the filter itself hash-checkable across engines."""
+    from dropbox_duckdb_playground_spark.operators import sketches as SK
+
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingles(d, n=3)
+    bench = sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+    bits = SK.bloom_bits(bench, "shingle")
+    train = sh.filter(F.col("doc_id") % 50 != 0)
+    flags = SK.bloom_contains(train, bits, "shingle")
+    exact = bench.withColumn("__hit__", F.lit(1))
+    return (
+        flags.join(exact, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum(F.col("in_bloom").cast("int")).cast("long").alias("n_bloom_hits"),
+            F.sum(F.coalesce(F.col("__hit__"), F.lit(0))).cast("long").alias("n_exact_hits"),
+            (
+                F.sum(F.col("in_bloom").cast("int"))
+                - F.sum(F.coalesce(F.col("__hit__"), F.lit(0)))
+            ).cast("long").alias("n_false_pos"),
+        )
+    )
+
+
+@register(
+    "q96_window_suite",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ntile(4) OVER w AS INT) AS tile,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           CAST(round(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank,
+           CAST(round(cume_dist() OVER w, 6) AS DOUBLE) AS cdist,
+           round(coalesce(lag(o_totalprice) OVER w, 0), 2) AS prev_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags="W1 W2 window-suite ntile percent-rank",
+)
+def q96_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ANSI window functions in one pass: ntile /
+    rank / dense_rank / percent_rank / cume_dist / lag share a single
+    (custkey, orderdate) window spec, so Catalyst evaluates all six in
+    ONE Window exec over one shuffle — adding functions to a shared
+    spec is free; a second ORDER BY would not be. percent_rank and
+    cume_dist are int/int divisions of identical operands on both
+    engines (deterministic doubles)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).cast("int").alias("tile"),
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cdist"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0)), 2).alias(
+            "prev_price"
+        ),
+    )
+
+
+@register(
+    "q97_unpivot_measures",
+    oracle="""
+    WITH agg AS (
+      SELECT l_returnflag,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS sum_qty,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS sum_price,
+             CAST(round(sum(CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
+                 AS sum_disc
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM agg
+    """,
+    tags="unpivot stack wide-to-long U1",
+)
+def q97_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot via ``stack`` — the inverse of q19's pivot.
+    The measure sums aggregate once (decimal-exact), then stack emits 3
+    rows per flag IN-PLAN (a generator, not a self-union: the aggregate
+    subtree executes once, where the SQL UNION ALL formulation would
+    re-scan it three times without CTE materialization)."""
+    agg = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_price"),
+            F.round(F.sum(F.col("l_discount").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_disc"),
+        )
+    )
+    return agg.selectExpr(
+        "l_returnflag",
+        "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price,"
+        " 'sum_disc', sum_disc) AS (measure, value)",
+    )
+
+
+# ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
 

@@ -252,3 +252,87 @@ def _compose_labels(nodes: DataFrame, mappings: list[DataFrame]) -> DataFrame:
     return lab.select(
         F.col("node").alias("node_id"), F.col("label").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank — deterministic integer-arithmetic variant.
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 3,
+    scale: int = 1_000_000_000_000,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank over a directed edge list, all-integer arithmetic.
+
+    Float PageRank is not reproducible across engines (per-partition sum
+    order changes the low bits every run); here ranks are BIGINTs scaled
+    by ``scale`` and every step is integer division, so ANY engine
+    computes bit-identical ranks — the property that lets an oracle
+    hash-check an iterative graph algorithm at all.
+
+    Per iteration: contribution(u->v) = r_u div outdeg_u; dangling mass
+    (outdeg-0 nodes) redistributes uniformly; r'_v = (100-d)%% of the
+    uniform share + d%% of (contributions + dangling share), with each
+    ``%%`` an integer ``div 100``.
+
+    Scale: the edge list and out-degree table are computed once and
+    pinned via ``materialize``; each iteration is ONE shuffle join of
+    the rank vector (node-sized, not edge-sized) against the
+    pre-partitioned edges plus a 1-row broadcast for the dangling
+    scalar. Iterations are a driver loop over a bounded constant —
+    lineage is cut per round, so the plan never grows. Reference
+    analog: the graph-resolution iteration loop
+    (examples/graph/resolution/mapper/messy.py) run driver-side; here
+    every step stays distributed.
+    """
+    from dropbox_duckdb_playground_spark.materialize import materialize
+
+    e = materialize(edges.select("src", "dst").distinct())
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    n = materialize(
+        nodes.select("node").distinct().join(
+            F.broadcast(deg), "node", "left"
+        )
+    )  # (node, outdeg|null)
+    n_nodes = n.count()
+    init = scale // n_nodes
+    base = (100 - damping_pct) * init // 100
+    r = n.select("node", "outdeg", F.lit(init).cast("long").alias("r"))
+    for _ in range(iterations):
+        contrib = (
+            e.join(
+                r.filter(F.col("outdeg").isNotNull()).select(
+                    F.col("node").alias("src"),
+                    F.expr("r div outdeg").alias("c"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dang = r.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("r"), F.lit(0)).alias("dang")
+        )
+        r = materialize(
+            n.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                "outdeg",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(contrib, 0)"
+                        f" + (dang div {n_nodes}))) div 100"
+                    )
+                )
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return r.select("node", F.col("r").alias("rank"))

@@ -1,0 +1,197 @@
+"""Deterministic probabilistic sketches: HyperLogLog, Count-Min, Bloom.
+
+The classic sketch implementations are engine-internal (Spark's
+``approx_count_distinct`` HLL++, DuckDB's ``approx_distinct``) and not
+reproducible across engines, which makes them unauditable in a
+cross-engine pipeline. These variants fix every degree of freedom —
+the hash (portable md5-derived 60-bit id, SURVEY §8.1), the register
+math (integer shifts, no float sums), the bucket counts — so ANY
+engine recomputes bit-identical sketches and the estimates themselves
+become oracle-checkable values rather than approximations you have to
+trust. Reference analog: the validation surface (`batch_framework/
+validate.py`) audits row counts; at 100 TB the same audits need
+sketches, and sketches you can re-derive are the only ones that
+compose with a correctness gate.
+
+Scale notes (100 TB):
+- HLL: one scan -> 64 registers per audited column; the shuffle carries
+  only (col, bucket) partial maxima — map-side combine collapses each
+  partition to <= 64 rows per column before the exchange.
+- Count-Min: the shuffle carries (depth x width) partial counts, again
+  map-side combined; estimates join the (small, distinct-key-sized)
+  query set against the d*w-cell table.
+- Bloom: the bit table is <= m rows regardless of corpus size and
+  broadcast to the probe side; the probe is one equi-join on bit
+  position, never a per-row UDF loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _phash(col: Column, salt: str) -> Column:
+    """md5-derived 60-bit non-negative hash, bit-identical in DuckDB
+    (catalog.DUCK_ID) — the only hash allowed in oracle-checked
+    sketches (xxhash64 is engine-private and not DuckDB-expressible).
+    Composed natively; compiles to the same plan as catalog.SPARK_ID."""
+    h = F.concat(F.lit(salt), col.cast("string"))
+    return F.conv(F.substring(F.md5(h), 1, 15), 16, 10).cast("bigint")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007), deterministic integer variant.
+
+HLL_BUCKETS = 64  # m = 2^6
+HLL_WBITS = 54  # 60-bit hash - 6 bucket bits
+HLL_ALPHA = 0.709  # alpha_64, fixed literal on both engines
+
+
+def hll_registers(df: DataFrame, col: str, label: str | None = None) -> DataFrame:
+    """(col_name, bucket, reg) — all 64 registers, empty buckets reg=0.
+
+    bucket = h % 64; w = h div 64 (54 bits); rho = 55 - bitlen(w) for
+    w>0 else 55 (leading-zero count + 1). Register = max(rho) per
+    bucket. Pure integer/string ops — no float in the data path."""
+    name = label or col
+    hashed = df.select(_phash(F.col(col), "hll:").alias("h")).select(
+        (F.col("h") % HLL_BUCKETS).alias("bucket"),
+        F.expr(f"h div {HLL_BUCKETS}").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(HLL_WBITS + 1)).otherwise(
+        F.lit(HLL_WBITS + 1) - F.length(F.bin(F.col("w")))
+    )
+    regs = (
+        hashed.select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    spine = (
+        df.sparkSession.range(HLL_BUCKETS)
+        .select(F.col("id").cast("bigint").alias("bucket"))
+    )
+    return (
+        spine.join(F.broadcast(regs), "bucket", "left")
+        .select(
+            F.lit(name).alias("col_name"),
+            "bucket",
+            F.coalesce(F.col("reg"), F.lit(0)).cast("int").alias("reg"),
+        )
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """(col_name, hll_estimate) from a register table.
+
+    S = sum over buckets of 2^(55-reg) — integer shifts, max 64*2^55 =
+    2^61 (no overflow, no float-sum rounding). E = alpha*m^2*2^55 / S:
+    ONE double division of two exactly-represented values, so floor(E)
+    is bit-identical on every IEEE-754 engine. Raw estimate only (no
+    small-range linear counting — ln() is libm-dependent); fine for the
+    cardinalities an audit sketches."""
+    # shiftleft's bit count must be a Column-safe expr (the Python API
+    # only takes literal ints)
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_WBITS + 1} - reg)")
+    num = HLL_ALPHA * HLL_BUCKETS * HLL_BUCKETS * float(2 ** (HLL_WBITS + 1))
+    return (
+        registers.groupBy("col_name")
+        .agg(F.sum(term).alias("s"))
+        .select(
+            "col_name",
+            F.floor(F.lit(num) / F.col("s").cast("double"))
+            .cast("long")
+            .alias("hll_estimate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005), deterministic.
+
+CM_DEPTH = 4
+CM_WIDTH = 256
+
+
+def countmin_cells(items: DataFrame, col: str = "tok") -> DataFrame:
+    """(i, bucket, cnt): the d x w counter matrix from an item stream.
+    Each row fans out to d (row, bucket) increments in-plan (explode of
+    a literal-built array — no UDF); one map-side-combined groupBy."""
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (_phash(F.col(col), f"cm{i}:") % CM_WIDTH).alias("bucket"),
+            )
+            for i in range(CM_DEPTH)
+        ]
+    )
+    return (
+        items.select(F.explode(hashes).alias("e"))
+        .select("e.i", "e.bucket")
+        .groupBy("i", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def countmin_estimates(
+    cells: DataFrame, keys: DataFrame, col: str = "tok"
+) -> DataFrame:
+    """(key, cm_estimate): min over the d cells each key hashes to.
+    The key set is distinct-key-sized; the join is an equi-join on
+    (i, bucket) against the bounded d*w cell table (broadcast)."""
+    hashes = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                (_phash(F.col(col), f"cm{i}:") % CM_WIDTH).alias("bucket"),
+            )
+            for i in range(CM_DEPTH)
+        ]
+    )
+    kh = keys.select(F.col(col), F.explode(hashes).alias("e")).select(
+        col, "e.i", "e.bucket"
+    )
+    return (
+        kh.join(F.broadcast(cells), ["i", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("cm_estimate"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter membership, deterministic.
+
+BLOOM_K = 4
+BLOOM_M = 65536
+
+
+def bloom_bits(items: DataFrame, col: str) -> DataFrame:
+    """(bit,): the distinct set bit positions for the member set —
+    <= m rows regardless of input size, broadcastable by construction."""
+    hashes = F.array(
+        *[(_phash(F.col(col), f"bf{i}:") % BLOOM_M) for i in range(BLOOM_K)]
+    )
+    return (
+        items.select(F.explode(hashes).alias("bit")).distinct()
+    )
+
+
+def bloom_contains(probe: DataFrame, bits: DataFrame, col: str) -> DataFrame:
+    """probe + boolean ``in_bloom``: true iff all k bit positions are
+    set. One explode to k rows, one broadcast equi-join on bit, one
+    groupBy back to probe grain counting matches == k."""
+    hashes = F.array(
+        *[(_phash(F.col(col), f"bf{i}:") % BLOOM_M) for i in range(BLOOM_K)]
+    )
+    keys = [c for c in probe.columns]
+    ph = probe.select(*keys, F.explode(hashes).alias("bit"))
+    marked = ph.join(
+        F.broadcast(bits.select(F.col("bit"), F.lit(1).alias("__set__"))),
+        "bit",
+        "left",
+    )
+    return (
+        marked.groupBy(*keys)
+        .agg((F.sum(F.coalesce(F.col("__set__"), F.lit(0))) == BLOOM_K).alias("in_bloom"))
+    )

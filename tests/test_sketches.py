@@ -1,0 +1,120 @@
+"""Deterministic-sketch operators (sketches.py) + integer PageRank.
+
+Beyond the catalog's cross-engine hash checks (q92-q95), these verify
+the SKETCH GUARANTEES themselves: HLL error bounds, Count-Min one-sided
+error, Bloom zero false negatives, PageRank mass conservation — the
+properties a user relies on, which a value-hash equality can't express.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dropbox_duckdb_playground_spark.operators import sketches as SK
+from dropbox_duckdb_playground_spark.operators.components import pagerank
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    # 5000 distinct string keys
+    return spark.range(5000).select(F.concat(F.lit("k"), "id").alias("v"))
+
+
+class TestHLL:
+    def test_registers_shape_and_determinism(self, spark, ids):
+        r1 = SK.hll_registers(ids, "v", label="a").collect()
+        r2 = SK.hll_registers(ids, "v", label="a").collect()
+        assert len(r1) == SK.HLL_BUCKETS
+        assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+        assert all(0 <= row.reg <= SK.HLL_WBITS + 1 for row in r1)
+
+    def test_estimate_error_bound(self, spark, ids):
+        # standard error for m=64 is ~1.04/8 = 13%; allow 3 sigma
+        est = SK.hll_estimate(SK.hll_registers(ids, "v")).collect()[0]
+        assert abs(est.hll_estimate - 5000) / 5000 < 0.4
+
+    def test_duplicates_dont_move_estimate(self, spark, ids):
+        dup = ids.unionAll(ids).unionAll(ids)
+        e1 = SK.hll_estimate(SK.hll_registers(ids, "v")).collect()[0]
+        e3 = SK.hll_estimate(SK.hll_registers(dup, "v")).collect()[0]
+        assert e1.hll_estimate == e3.hll_estimate
+
+
+class TestCountMin:
+    def test_one_sided_error(self, spark):
+        # skewed stream: token t{i} appears i+1 times
+        items = (
+            spark.range(50)
+            .select(
+                F.explode(
+                    F.expr("transform(sequence(0, CAST(id AS INT)), x -> id)")
+                ).alias("k")
+            )
+            .select(F.concat(F.lit("t"), "k").alias("tok"))
+        )
+        cells = SK.countmin_cells(items, "tok")
+        keys = items.distinct()
+        est = SK.countmin_estimates(cells, keys, "tok")
+        truth = items.groupBy("tok").agg(F.count("*").alias("n"))
+        rows = est.join(truth, "tok").collect()
+        assert len(rows) == 50
+        # CM never underestimates
+        assert all(r.cm_estimate >= r.n for r in rows)
+        # and with 50 keys in a 4x256 sketch, most are exact
+        exact = sum(1 for r in rows if r.cm_estimate == r.n)
+        assert exact >= 45
+
+    def test_cell_count_bounded(self, spark, ids):
+        cells = SK.countmin_cells(ids.withColumnRenamed("v", "tok"), "tok")
+        assert cells.count() <= SK.CM_DEPTH * SK.CM_WIDTH
+
+
+class TestBloom:
+    def test_no_false_negatives(self, spark, ids):
+        members = ids.filter(F.col("v").rlike("k[0-4]$"))  # k0..k4
+        bits = SK.bloom_bits(members, "v")
+        probed = SK.bloom_contains(ids, bits, "v").collect()
+        member_set = {r.v for r in members.collect()}
+        for r in probed:
+            if r.v in member_set:
+                assert r.in_bloom, f"false negative for {r.v}"
+
+    def test_bits_bounded(self, spark, ids):
+        bits = SK.bloom_bits(ids, "v")
+        assert bits.count() <= SK.BLOOM_M
+
+
+class TestPageRank:
+    @pytest.fixture(scope="class")
+    def chain(self, spark):
+        # a -> b -> c, d isolated (dangling)
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], ["src", "dst"]
+        )
+        n = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], ["node"])
+        return e, n
+
+    def test_rank_order_and_determinism(self, spark, chain):
+        e, n = chain
+        r1 = {r.node: r.rank for r in pagerank(e, n, iterations=3).collect()}
+        r2 = {r.node: r.rank for r in pagerank(e, n, iterations=3).collect()}
+        assert r1 == r2  # bit-identical, not approximately equal
+        # c receives b's mass which receives a's: c > b > a == d? a and d
+        # both have no in-edges; a has out-edges, d dangles — same rank.
+        assert r1["c"] > r1["b"] > r1["a"]
+        assert r1["a"] == r1["d"]
+
+    def test_mass_approximately_conserved(self, spark, chain):
+        e, n = chain
+        total = sum(r.rank for r in pagerank(e, n, iterations=3).collect())
+        # integer floor-division leaks at most a few units per node/step
+        assert abs(total - 1_000_000_000_000) < 1_000_000
+
+    def test_catalog_query_supplier_grain(self, spark, sf_dir):
+        from dropbox_duckdb_playground_spark.catalog import queries
+
+        out = queries()["q92_pagerank"](spark, sf_dir)
+        rows = out.collect()
+        assert all(r.node.startswith("S") for r in rows)
+        assert all(r.rank > 0 for r in rows)

@@ -57,6 +57,9 @@ ALLOWED = {
     # shape for a scalar, and the per-token work stays a hash equi-join.
     "q68_unigram_logprob": "cartesian",
     # same scalar-subquery idiom as q68: the broadcast side is the
+    # 1-row global average-balance aggregate (TPC-H Q22 shape).
+    "q76_dormant_customers": "cartesian",
+    # same scalar-subquery idiom as q68: the broadcast side is the
     # 1-row global max-revenue aggregate.
     "q85_tpch_q15": "cartesian",
     # reuses q28's brute-force exact-kNN baseline (bounded query block

@@ -60,6 +60,10 @@ SF1_QUERIES = [
     "q64_jaccard_capped",
     "q65_lsh_capped",
     "q67_minhash_estimate",
+    "q79_semantic_dedup",
+    "q80_boilerplate",
+    "q89_chunk_dedup",
+    "q91_knn_classify",
 ]
 
 
