@@ -4111,6 +4111,109 @@ def q97_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q98_tpch_q6",
+    oracle="""
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
+                          * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags="tpch P-filter A1 scan-pushdown olap",
+)
+def q98_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): pure filter + scalar
+    aggregate — the canonical predicate-pushdown probe. All three
+    predicates reach the parquet scan (PushedFilters) and only 4
+    columns are read; the whole query is one scan + one partial/final
+    agg, zero joins, zero wide columns."""
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,6)")
+                    * F.col("l_discount").cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q99_tpch_q9",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                            * (1 - CAST(l.l_discount AS DECIMAL(18,6)))
+                          - CAST(p.p_retailprice / 10 AS DECIMAL(18,6))
+                            * CAST(l.l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS profit
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    tags="tpch J1 J2 multi-dim-join A1 olap",
+)
+def q99_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit): profit per supplier nation and
+    order year for widget parts; supply cost is modeled as 10% of
+    retail price (the schema has no partsupp). Three dimension paths
+    (part-filtered, supplier->nation) broadcast; the only shuffles are
+    lineitem-orders and the final small agg. The profit expression
+    stays in DECIMAL end-to-end — products are exact, so the subtraction
+    can't introduce engine-dependent float error."""
+    p = F.broadcast(
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = F.broadcast(
+        load(spark, sf_dir, "supplier")
+        .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    # supply cost = retail/10: ONE double division (bit-identical on both
+    # engines) cast to the same scale as the revenue term, so the decimal
+    # subtraction needs no rescale (mixed scales overflow DuckDB's
+    # inferred DECIMAL(18,13))
+    profit = F.col("l_extendedprice").cast("decimal(18,6)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    ) - (F.col("p_retailprice") / 10).cast("decimal(18,6)") * F.col(
+        "l_quantity"
+    ).cast("decimal(18,6)")
+    return (
+        l.join(p, l["l_partkey"] == p["p_partkey"])
+        .join(s, l["l_suppkey"] == s["s_suppkey"])
+        .join(o, l["l_orderkey"] == o["o_orderkey"])
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
