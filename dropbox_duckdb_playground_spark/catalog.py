@@ -4214,6 +4214,120 @@ def q99_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q100_curation_policy",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks
+               FROM documents),
+    f AS (SELECT doc_id, lang,
+                 len(toks) AS n_tok_raw,
+                 greatest(len(toks), 1) AS n_tok,
+                 len(list_filter(toks, x -> list_contains(
+                     ['the','a','of','and','to','in'], x))) AS stop_cnt,
+                 len(list_distinct(toks)) AS n_distinct,
+                 list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                     AS char_sum
+          FROM t),
+    q AS (SELECT doc_id, lang,
+                 CAST(n_tok_raw AS BIGINT) AS n_tokens,
+                 round(least(n_tok_raw / 100.0, 1.0) * 0.25
+                       + least(stop_cnt * 5.0 / n_tok, 1.0) * 0.25
+                       + (n_distinct * 1.0 / n_tok) * 0.25
+                       + (CASE WHEN char_sum * 1.0 / n_tok >= 3
+                                    AND char_sum * 1.0 / n_tok <= 10
+                               THEN 1.0 ELSE 0.0 END) * 0.25, 4) AS quality
+          FROM f),
+    pos AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+      FROM t),
+    sh AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
+        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      WHERE g IS NOT NULL),
+    freq AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g),
+    boiler AS (
+      SELECT s.doc_id,
+             round(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0
+                   / count(*), 4) AS boiler_ratio
+      FROM sh s JOIN freq f ON s.g = f.g
+      GROUP BY s.doc_id)
+    SELECT q.doc_id, q.lang, q.n_tokens, q.quality,
+           coalesce(b.boiler_ratio, 0) AS boiler_ratio,
+           CAST(CASE WHEN q.n_tokens >= 25 AND q.n_tokens <= 75
+                      AND q.quality >= 0.5
+                      AND coalesce(b.boiler_ratio, 0) <= 0.95
+                     THEN 1 ELSE 0 END AS INT) AS keep,
+           concat_ws(',',
+             CASE WHEN q.n_tokens < 25 THEN 'too_short' END,
+             CASE WHEN q.n_tokens > 75 THEN 'too_long' END,
+             CASE WHEN q.quality < 0.5 THEN 'low_quality' END,
+             CASE WHEN coalesce(b.boiler_ratio, 0) > 0.95 THEN 'boilerplate' END)
+               AS reject_reasons
+    FROM q LEFT JOIN boiler b ON q.doc_id = b.doc_id
+    """,
+    tags="llm-prep curation-policy quality boilerplate pipeline",
+)
+def q100_curation_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation gate — the decision query an LLM data
+    pipeline actually ships: per document, the Gopher-style quality
+    blend (q21) and corpus-wide boilerplate share (q80) combine into a
+    keep/drop verdict with deterministic machine-readable reject
+    reasons. Both feature families reuse one tokenization; the only
+    corpus-wide state is the distinct-3-gram frequency table
+    (vocabulary-bounded, not corpus-bounded). Thresholds compare
+    ROUNDED features, so the policy bit can't flip on float noise
+    between engines."""
+    d = load(spark, sf_dir, "documents")
+    q = TX.quality_score(d)  # doc_id, n_tokens, ..., quality
+    sh = D.shingles(d, n=3)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    boiler = (
+        sh.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+                / F.count("*"),
+                4,
+            ).alias("boiler_ratio")
+        )
+    )
+    feats = (
+        q.join(boiler, "doc_id", "left")
+        .join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "quality",
+            F.coalesce(F.col("boiler_ratio"), F.lit(0)).alias("boiler_ratio"),
+        )
+    )
+    keep = (
+        F.col("n_tokens").between(25, 75)
+        & (F.col("quality") >= 0.5)
+        & (F.col("boiler_ratio") <= 0.95)
+    )
+    return feats.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "quality",
+        "boiler_ratio",
+        keep.cast("int").alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(F.col("n_tokens") < 25, "too_short"),
+            F.when(F.col("n_tokens") > 75, "too_long"),
+            F.when(F.col("quality") < 0.5, "low_quality"),
+            F.when(F.col("boiler_ratio") > 0.95, "boilerplate"),
+        ).alias("reject_reasons"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
