@@ -3859,27 +3859,54 @@ def q93_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     key columns — a sketch whose ESTIMATE is itself oracle-checkable
     because every degree of freedom (portable md5 hash, integer-shift
     register sums, one final double division) is pinned (sketches.py).
-    One scan builds all three sketches via a stacked long-form
-    projection; the shuffle carries <=64 partial maxima per column."""
+    ONE scan computes all three column hashes and explodes them into
+    (col_name, bucket, rho) in-plan, so the fact is read exactly once
+    for the sketches; the shuffle carries <=64 partial maxima per
+    column. The exact counts ride a second scan as three partial
+    count-distincts in one agg (long keys, no string union)."""
     from dropbox_duckdb_playground_spark.operators import sketches as SK
 
     li = load(spark, sf_dir, "lineitem")
-    regs = None
-    exacts = None
-    long_form = None
-    for c in ("l_orderkey", "l_partkey", "l_suppkey"):
-        part = li.select(
-            F.lit(c).alias("col_name"), F.col(c).cast("string").alias("v")
+    cols = ("l_orderkey", "l_partkey", "l_suppkey")
+
+    # stage 1: one md5 hash per column per row, computed exactly once
+    hashed = li.select(
+        *[SK._phash(F.col(c), "hll:").alias(f"h_{c}") for c in cols]
+    )
+
+    def bucket_rho(c: str):
+        h = F.col(f"h_{c}")
+        w = F.shiftright(h, 6)  # h div 64, h is a nonneg 60-bit value
+        return F.struct(
+            F.lit(c).alias("col_name"),
+            (h % SK.HLL_BUCKETS).alias("bucket"),
+            F.when(w == 0, F.lit(SK.HLL_WBITS + 1))
+            .otherwise(F.lit(SK.HLL_WBITS + 1) - F.length(F.bin(w)))
+            .alias("rho"),
         )
-        long_form = part if long_form is None else long_form.unionAll(part)
-    for c in ("l_orderkey", "l_partkey", "l_suppkey"):
-        r = SK.hll_registers(
-            long_form.filter(F.col("col_name") == c).select("v"), "v", label=c
-        )
-        regs = r if regs is None else regs.unionAll(r)
+
+    exploded = hashed.select(
+        F.explode(F.array(*[bucket_rho(c) for c in cols])).alias("e")
+    ).select("e.col_name", "e.bucket", "e.rho")
+    regs0 = exploded.groupBy("col_name", "bucket").agg(F.max("rho").alias("reg"))
+    spine = (
+        spark.range(SK.HLL_BUCKETS)
+        .select(F.col("id").cast("bigint").alias("bucket"))
+        .crossJoin(spark.createDataFrame([(c,) for c in cols], "col_name string"))
+    )
+    regs = spine.join(F.broadcast(regs0), ["col_name", "bucket"], "left").select(
+        "col_name", "bucket", F.coalesce(F.col("reg"), F.lit(0)).cast("int").alias("reg")
+    )
     est = SK.hll_estimate(regs)
-    exact = long_form.groupBy("col_name").agg(
-        F.countDistinct("v").alias("exact_distinct")
+    wide = li.agg(
+        *[F.countDistinct(c).cast("long").alias(c) for c in cols]
+    )
+    exact = wide.select(
+        F.expr(
+            "stack(3, "
+            + ", ".join(f"'{c}', {c}" for c in cols)
+            + ") AS (col_name, exact_distinct)"
+        )
     )
     return est.join(exact, "col_name").select(
         "col_name",
