@@ -4631,6 +4631,229 @@ def q103_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q104-q107 — training-data mixing, graph analytics, IR ranking, PQ-ANN.
+
+@register(
+    "q104_source_mixture",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_source
+      FROM documents GROUP BY source),
+    rates AS (
+      SELECT source, n_source,
+             CAST(floor(least(1.0, 2.0 / sqrt(n_source)) * 1000000) AS BIGINT)
+                 AS rate_ppm
+      FROM counts)
+    SELECT d.doc_id, d.source, r.n_source, r.rate_ppm
+    FROM documents d JOIN rates r USING (source)
+    WHERE {DUCK_ID.format(x="'mix:' || d.source || ':' || CAST(d.doc_id AS VARCHAR)")}
+          % 1000000 < r.rate_ppm
+    """,
+    tags="llm-prep data-mixture temperature-sampling deterministic",
+)
+def q104_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted source mixing — the training-data recipe
+    step that rebalances a corpus across sources (multilingual-LM
+    practice: sample source s at a rate ∝ n_s^(alpha-1), here
+    alpha=0.5 via rate = min(1, c/sqrt(n_s)), so big sources are
+    down-weighted toward the temperature distribution). Selection is a
+    deterministic ppm threshold on the portable hash — any engine
+    recomputes the identical subset (training-data lineage). The
+    per-source count table is tiny and broadcast; the corpus pays one
+    narrow filter pass. Engine-stable math: sqrt and one division are
+    IEEE-exact on identical inputs; floor-to-ppm avoids float compare."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count("*").cast("long").alias("n_source"))
+    rates = counts.select(
+        "source",
+        "n_source",
+        F.floor(F.least(F.lit(1.0), F.lit(2.0) / F.sqrt("n_source")) * 1000000)
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+    h = F.expr(
+        SPARK_ID.format(x="concat('mix:', source, ':', CAST(doc_id AS STRING))")
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .filter(h % 1000000 < F.col("rate_ppm"))
+        .select("doc_id", "source", "n_source", "rate_ppm")
+    )
+
+
+@register(
+    "q105_triangle_count",
+    oracle="""
+    WITH e0 AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM lineitem l1
+      JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                      AND l1.l_partkey < l2.l_partkey),
+    deg AS (
+      SELECT node, count(*) AS deg FROM (
+        SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+      GROUP BY node),
+    o AS (
+      SELECT CASE WHEN da.deg < db.deg
+                    OR (da.deg = db.deg AND e0.a < e0.b)
+                  THEN e0.a ELSE e0.b END AS u,
+             CASE WHEN da.deg < db.deg
+                    OR (da.deg = db.deg AND e0.a < e0.b)
+                  THEN e0.b ELSE e0.a END AS v
+      FROM e0
+      JOIN deg da ON e0.a = da.node
+      JOIN deg db ON e0.b = db.node),
+    wedge AS (
+      SELECT e1.v AS v, e2.v AS w
+      FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
+    probe AS (
+      SELECT least(u, v) AS v, greatest(u, v) AS w FROM o)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM wedge JOIN probe USING (v, w)
+    """,
+    tags="graph triangle-count degree-orientation J6 analytics",
+)
+def q105_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the part co-purchase graph (parts
+    sharing an order), via degree-ordered orientation
+    (operators/components.triangle_count — Suri & Vassilvitskii's
+    MapReduce algorithm). Orientation caps per-node out-degree at
+    O(sqrt(m)), so the wedge self-join is O(m^1.5) even on power-law
+    degree distributions — the property that makes triangle counting
+    feasible at 100 TB where the naive three-way join explodes on hub
+    nodes."""
+    from dropbox_duckdb_playground_spark.operators.components import triangle_count
+
+    l1 = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = l1.alias("l2")
+    edges = (
+        l1.alias("l1")
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
+        )
+    )
+    return triangle_count(edges)
+
+
+@register(
+    "q106_bm25_topk",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id,
+                  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl
+           FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    qterms AS (
+      SELECT term FROM (
+        SELECT term, count(*) AS cnt FROM toks
+        WHERE term NOT IN ('the','a','of','and','to','in')
+        GROUP BY term)
+      ORDER BY cnt DESC, term ASC LIMIT 8),
+    scored AS (
+      SELECT t.term, t.doc_id, t.tf,
+             ln((n.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (t.tf * (1.2 + 1)
+                / (t.tf + 1.2 * (1 - 0.75 + (0.75 * d.dl)
+                                 / (CAST(n.tot_dl AS DOUBLE) / n.n_docs))))
+                 AS raw
+      FROM tf t
+      JOIN qterms q ON t.term = q.term
+      JOIN df ON t.term = df.term
+      JOIN dl d ON t.doc_id = d.doc_id
+      CROSS JOIN n)
+    SELECT term, doc_id, tf, bm25 FROM (
+      SELECT term, doc_id, tf, round(raw, 4) AS bm25,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY round(raw, 4) DESC, doc_id ASC) AS rn
+      FROM scored) WHERE rn <= 10
+    """,
+    tags="ir bm25 ranking inverted-index llm-prep",
+)
+def q106_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (operators/text.bm25_topk): top-10 documents for
+    each of the corpus's 8 most frequent non-stopword terms — the IR
+    ranking primitive on top of the inverted-index family (q60/q61).
+    The tf table is one explode + map-side-combined groupBy; df/idf and
+    the query-term set are vocabulary-sized broadcasts; scoring is
+    pruned to the query terms' postings BEFORE the top-k window.
+    Rounded-score tie-breaks keep the ranking engine-stable (libm ln
+    differences live below the 4-decimal rounding)."""
+    d = load(spark, sf_dir, "documents")
+    return TX.bm25_topk(d, n_query_terms=8, k=10)
+
+
+_PQ_STAGE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse",
+    "pq_stage",
+)
+
+
+@register(
+    "q107_pq_ann",
+    oracle=f"""
+    WITH book AS (
+      SELECT sub, code, centroid FROM '{_PQ_STAGE}/book/*.parquet'),
+    codes AS (
+      SELECT cand_id, sub, code FROM '{_PQ_STAGE}/codes/*.parquet'),
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec
+          FROM embeddings WHERE vec_id < 10),
+    lut AS (
+      SELECT q.query_id, b.sub, b.code,
+             CAST(round(list_aggregate(list_transform(range(1, 9),
+                    i -> CAST(q.q_vec[b.sub * 8 + i] AS DOUBLE)
+                         * b.centroid[i]), 'sum') * 1000000.0) AS BIGINT)
+                 AS micro
+      FROM q CROSS JOIN book b),
+    scored AS (
+      SELECT l.query_id, c.cand_id,
+             CAST(sum(l.micro) AS BIGINT) / 1000000.0 AS score
+      FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+      GROUP BY l.query_id, c.cand_id)
+    SELECT query_id, cand_id, score FROM (
+      SELECT query_id, cand_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, cand_id ASC) AS rn
+      FROM scored WHERE query_id <> cand_id) WHERE rn <= 5
+    """,
+    tags="similarity pq ann adc quantization",
+)
+def q107_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_ann_topk) —
+    completes the similarity family (brute q28 / LSH q36 / IVF q62 /
+    PQ). Codebooks train driver-side on a bounded sample and are staged
+    with the per-vector codes as parquet, so DuckDB replays the entire
+    asymmetric-distance scoring: per-query LUT of subvector dots,
+    integer-microunit summation over the m code lookups (exact — no
+    float-sum order dependence), top-5 by (score, cand_id). At 100 TB
+    only the m-byte code words stay hot; the float vectors are read
+    once at encode time."""
+    from dropbox_duckdb_playground_spark.operators.similarity import pq_ann_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    return pq_ann_topk(
+        e,
+        e.filter(F.col("vec_id") < 10),
+        k=5,
+        m=8,
+        ksub=16,
+        dim=64,
+        stage_dir=_PQ_STAGE,
+    )
+
+
+# ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
 

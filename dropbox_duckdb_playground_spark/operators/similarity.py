@@ -400,3 +400,174 @@ def semantic_dedup(
     return assigned.groupBy("list_id").applyInPandas(
         dedupe_cluster, schema=f"vec_id {assigned.schema['cand_id'].dataType.simpleString()}, list_id int, survived int"
     ).select(F.col("vec_id").alias(id_col), "list_id", "survived")
+
+
+def pq_assign(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    stage_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization encoder (Jégou et al. TPAMI 2011): split each
+    vector into ``m`` subspaces of dim/m dims, k-means each subspace to
+    ``ksub`` centroids, store per-vector code words. Returns
+    ``(codes, codebook)`` with codes = (cand_id, sub, code) long-form and
+    codebook = (sub, code, centroid array<double>).
+
+    Like ``ivf_assign``: codebooks train DRIVER-SIDE on a bounded seeded
+    sample (corpus-size-independent), the corpus pays exactly ONE
+    Arrow-vectorized encoding pass, and ``stage_dir`` stages both tables
+    as parquet so a SQL oracle can replay everything downstream of the
+    trained model. At 100 TB the codes table is m bytes-ish per vector
+    (vs 4*dim for floats) — the point of PQ is that THIS is what you
+    keep hot for ANN scoring."""
+    import numpy as np
+
+    from dropbox_duckdb_playground_spark.operators.relational import fan_out
+
+    assert dim % m == 0
+    dsub = dim // m
+
+    vecs = fan_out(embeddings).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+    )
+    raw = embeddings.select(F.col(vec_col).alias("c_vec"))
+    train_cap = max(ksub * 256, 2048)
+    X = np.asarray(
+        raw.limit(train_cap).toPandas()["c_vec"].tolist(), dtype=np.float64
+    )
+    rng = np.random.RandomState(seed)
+    books = []
+    for s in range(m):
+        Xs = X[:, s * dsub : (s + 1) * dsub]
+        C = Xs[rng.choice(len(Xs), size=min(ksub, len(Xs)), replace=False)].copy()
+        for _ in range(10):
+            d2 = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for j in range(len(C)):
+                members = Xs[assign == j]
+                if len(members):
+                    C[j] = members.mean(axis=0)
+        books.append(C)
+    B = np.stack(books)  # (m, ksub, dsub)
+
+    spark = embeddings.sparkSession
+    id_type = vecs.schema["cand_id"].dataType.simpleString()
+
+    def encode(batches):
+        for pdf in batches:
+            Mx = np.asarray(pdf["c_vec"].tolist(), dtype=np.float64)
+            out = {"cand_id": pdf["cand_id"]}
+            for s in range(m):
+                Xs = Mx[:, s * dsub : (s + 1) * dsub]
+                d2 = ((Xs[:, None, :] - B[s][None, :, :]) ** 2).sum(axis=2)
+                out[f"c{s}"] = d2.argmin(axis=1).astype("int32")
+            yield type(pdf)(out)
+
+    wide_schema = f"cand_id {id_type}, " + ", ".join(f"c{s} int" for s in range(m))
+    wide = vecs.mapInPandas(encode, schema=wide_schema)
+    codes = wide.select(
+        "cand_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(s).alias("sub"), F.col(f"c{s}").alias("code"))
+                for s in range(m)
+            ])
+        ).alias("e"),
+    ).select("cand_id", "e.sub", "e.code")
+    codebook = spark.createDataFrame(
+        [
+            (s, c, [float(x) for x in B[s, c]])
+            for s in range(m)
+            for c in range(ksub)
+        ],
+        "sub int, code int, centroid array<double>",
+    )
+    if stage_dir is not None:
+        c_path = os.path.join(stage_dir, "codes")
+        codes.write.mode("overwrite").parquet(c_path)
+        codes = spark.read.parquet(c_path)
+        codebook.write.mode("overwrite").parquet(os.path.join(stage_dir, "book"))
+    else:
+        codes = materialize(codes)
+    return codes, codebook
+
+
+def pq_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """Asymmetric-distance PQ ANN: per query, precompute the (m x ksub)
+    lookup table of subvector dot products against the codebook, then
+    score every candidate by summing its m LUT entries — the candidate
+    side never touches a float vector, only its codes.
+
+    Engine-stable scoring: each LUT dot is rounded to integer
+    MICRO-units (round(dot*1e6)) before the per-candidate sum, so the
+    m-way addition is exact integer math — no float-sum order
+    dependence between engines. Output (query_id, cand_id, score) with
+    score = micro-sum/1e6, top-k per query by (score DESC, cand_id ASC).
+
+    Scale: LUT is |queries| x m x ksub rows (tiny, broadcast); the
+    codes table joins it on (sub, code) — corpus-sized but narrow — and
+    the per-candidate sum is a map-side-combinable groupBy on
+    (query_id, cand_id). One corpus pass, one shuffle."""
+    codes, codebook = pq_assign(
+        embeddings,
+        m=m,
+        ksub=ksub,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        stage_dir=stage_dir,
+    )
+    dsub = dim // m
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    # LUT: (query_id, sub, code, micro) — micro = round(1e6 * dot(q_sub, centroid))
+    qsub = q.select(
+        "query_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("sub"),
+                    F.slice("q_vec", s * dsub + 1, dsub).alias("qs"),
+                )
+                for s in range(m)
+            ])
+        ).alias("e"),
+    ).select("query_id", "e.sub", "e.qs")
+    lut = qsub.join(F.broadcast(codebook), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.round(_dot(F.col("qs"), F.col("centroid")) * 1e6)
+        .cast("long")
+        .alias("micro"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg((F.sum("micro") / F.lit(1e6)).alias("score"))
+        .filter(F.col("query_id") != F.col("cand_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "cand_id", "score")
+    )

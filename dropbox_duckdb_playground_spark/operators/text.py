@@ -391,3 +391,73 @@ def repetition_stats(
             F.coalesce(F.col("dup_bi") / F.col("n_bigrams"), F.lit(0.0)), 4
         ).alias("dup_bigram_frac"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    n_query_terms: int = 8,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    key: str = "doc_id",
+    text: str = "text",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> DataFrame:
+    """BM25 retrieval: top-``k`` documents for each of the corpus's
+    ``n_query_terms`` most frequent non-stopword terms (Robertson &
+    Zaragoza 2009, the Okapi formula with the standard +1 idf floor).
+
+    Output: (term, doc_id, tf, bm25) ordered per term by
+    (round(bm25,4) DESC, doc_id ASC) — rounded-score tie-breaks keep the
+    ranking engine-stable; the idf ln() differs across libm
+    implementations only below the 4-decimal rounding.
+
+    Scale: the term-frequency table (doc_id, term, tf) is ONE explode +
+    map-side-combined groupBy of the corpus; document lengths ride the
+    same scan. df/idf and the query-term set are term-vocabulary-sized
+    aggregates, broadcast; scoring touches only the tf rows of the few
+    query terms (semi-join prune BEFORE the window), and the final
+    top-k window shuffles just those scored rows on the term key. No
+    stage is corpus-quadratic and nothing but the tf build reads the
+    corpus."""
+    toks = docs.select(F.col(key), F.explode(tokens_col(text)).alias("term"))
+    tf = toks.groupBy(key, "term").agg(F.count("*").alias("tf"))
+    dl = docs.select(
+        F.col(key), token_count(text).cast("long").alias("dl")
+    )
+    n_and_avg = dl.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("tot_dl")
+    )
+    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    qterms = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .filter(~F.array_contains(stop_arr, F.col("term")))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(n_query_terms)
+        .select("term")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_t.join(F.broadcast(qterms), "term")), "term")
+        .join(dl, key)
+        .crossJoin(F.broadcast(n_and_avg))
+    )
+    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    bm25 = idf * (
+        F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl))
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.desc(F.round(bm25, 4)), F.asc(key)
+    )
+    return (
+        scored.withColumn("bm25", F.round(bm25, 4))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("term", key, "tf", "bm25")
+    )

@@ -74,3 +74,24 @@ def test_components_random_graph_matches_local_union_find(spark):
     # min-label convention: every cluster id is its own smallest member
     for cid, members in got_groups.items():
         assert cid == min(members)
+
+
+def test_triangle_count_known_graph(spark):
+    from dropbox_duckdb_playground_spark.operators.components import triangle_count
+
+    # K4 on {1,2,3,4} has 4 triangles; pendant edge (4,5) adds none;
+    # duplicate + reversed edges must not double-count
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (2, 1), (3, 1),  # reversed dupes
+        (4, 5),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_count(df).collect()[0]["n_triangles"] == 4
+
+
+def test_triangle_count_no_triangles(spark):
+    from dropbox_duckdb_playground_spark.operators.components import triangle_count
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    assert triangle_count(df).collect()[0]["n_triangles"] == 0

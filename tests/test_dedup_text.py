@@ -290,3 +290,29 @@ def test_repetition_stats(spark):
         (1, 4, 0.75, round(2 / 3, 4), round(2 / 3, 4)),
         (2, 2, 0.5, 1.0, 0.0),
     }
+
+
+def test_bm25_ranks_term_heavy_doc_first(spark):
+    from dropbox_duckdb_playground_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana"),
+            (2, "apple banana cherry date"),
+            (3, "banana cherry date egg fig"),
+            (4, "zz yy xx ww vv uu tt ss"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, n_query_terms=2, k=3).collect()
+    by_term = {}
+    for r in out:
+        by_term.setdefault(r["term"], []).append((r["doc_id"], r["bm25"]))
+    # 'apple' (3 occurrences in doc 1) must rank doc 1 first
+    assert "apple" in by_term or "banana" in by_term
+    if "apple" in by_term:
+        assert by_term["apple"][0][0] == 1
+    # scores are descending within each term
+    for term, rows in by_term.items():
+        scores = [s for _, s in rows]
+        assert scores == sorted(scores, reverse=True)

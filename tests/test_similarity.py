@@ -124,3 +124,41 @@ def test_semantic_dedup_min_id_is_the_representative(spark):
     out = semantic_dedup(df, threshold=0.999, nlist=1, seed=1).collect()
     survivors = sorted(r["vec_id"] for r in out if r["survived"] == 1)
     assert survivors == [2]
+
+
+def test_pq_ann_recall_vs_brute_force(spark):
+    from dropbox_duckdb_playground_spark.operators.similarity import (
+        cosine_topk,
+        pq_ann_topk,
+    )
+
+    # two well-separated clusters (same family as the IVF test): PQ's
+    # asymmetric-distance top-k must recover most exact neighbors
+    rows = []
+    for i in range(40):
+        c = i % 2
+        vec = [
+            float(10 * (1 - c) + ((i * 7 + d * 3) % 5) * 0.1)
+            if d < 4
+            else float(10 * c + ((i * 11 + d) % 5) * 0.1)
+            for d in range(8)
+        ]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 4)
+    exact = cosine_topk(df, q, k=3, id_col="vec_id")
+    approx = pq_ann_topk(df, q, k=3, m=4, ksub=8, dim=8, id_col="vec_id", seed=7)
+    e = {(r["query_id"], r["cand_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["cand_id"]) for r in approx.collect()}
+    assert len(a & e) / len(e) >= 0.6  # ADC ranks by dot, exact by cosine
+
+
+def test_pq_assign_codes_cover_all_subspaces(spark):
+    from dropbox_duckdb_playground_spark.operators.similarity import pq_assign
+
+    rows = [(i, [float((i * 7 + d) % 5) for d in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    codes, book = pq_assign(df, m=4, ksub=4, dim=8, seed=3)
+    got = codes.groupBy("cand_id").count().collect()
+    assert all(r["count"] == 4 for r in got) and len(got) == 20
+    assert book.count() == 16
