@@ -4853,6 +4853,160 @@ def q107_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q108_histogram_quantiles",
+    oracle="""
+    WITH mm AS (
+      SELECT min(CAST(l_extendedprice AS DOUBLE)) AS mn,
+             max(CAST(l_extendedprice AS DOUBLE)) AS mx
+      FROM lineitem),
+    binned AS (
+      SELECT l.l_returnflag AS grp, mm.mn, mm.mx,
+             CAST(CASE WHEN mm.mx = mm.mn THEN 0
+                  ELSE least(63, floor((CAST(l.l_extendedprice AS DOUBLE) - mm.mn)
+                                       / ((mm.mx - mm.mn) / 64.0)))
+                  END AS INT) AS bin
+      FROM lineitem l CROSS JOIN mm),
+    counts AS (
+      SELECT grp, mn, mx, bin, count(*) AS cnt
+      FROM binned GROUP BY grp, mn, mx, bin),
+    cum AS (
+      SELECT grp, mn, mx, bin,
+             sum(cnt) OVER (PARTITION BY grp ORDER BY bin
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(cnt) OVER (PARTITION BY grp) AS n
+      FROM counts),
+    q AS (
+      SELECT grp, mn, mx, bin, cum, n,
+             unnest([25, 50, 90]) AS q_pct
+      FROM cum),
+    first AS (
+      SELECT grp, q_pct, mn, mx, min(bin) AS qbin
+      FROM q WHERE cum * 100 >= q_pct * n
+      GROUP BY grp, q_pct, mn, mx)
+    SELECT grp AS l_returnflag, q_pct,
+           mn + (qbin + 1) * ((mx - mn) / 64.0) AS est
+    FROM first
+    """,
+    tags="sketch quantile histogram mergeable W1 A1",
+)
+def q108_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable equi-width-histogram quantiles of l_extendedprice per
+    return flag (sketches.histogram_quantiles) — the 100 TB scale path
+    for q57's exact group medians: bounded one-bin-width error, <=64
+    mergeable counters per group, two corpus passes regardless of data
+    size, and exact-integer rank tests so the estimate is bit-identical
+    in any engine (unlike approx_percentile/t-digest, whose internals
+    are engine-private)."""
+    from dropbox_duckdb_playground_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    li = load(spark, sf_dir, "lineitem")
+    return histogram_quantiles(
+        li, value="l_extendedprice", group="l_returnflag", bins=64,
+        q_pcts=(25, 50, 90),
+    )
+
+
+@register(
+    "q109_khop_reach",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    h1 AS (SELECT cust AS seed, supp FROM e WHERE cust < 20),
+    h2 AS (
+      SELECT DISTINCT h1.seed, e.cust
+      FROM h1 JOIN e ON h1.supp = e.supp
+      WHERE e.cust <> h1.seed),
+    a1 AS (SELECT seed, CAST(count(DISTINCT supp) AS BIGINT) AS n_suppliers
+           FROM h1 GROUP BY seed),
+    a2 AS (SELECT seed, CAST(count(*) AS BIGINT) AS n_cust_2hop
+           FROM h2 GROUP BY seed)
+    SELECT a1.seed, a1.n_suppliers,
+           coalesce(a2.n_cust_2hop, 0) AS n_cust_2hop
+    FROM a1 LEFT JOIN a2 ON a1.seed = a2.seed
+    """,
+    tags="graph bfs k-hop frontier J1 analytics",
+)
+def q109_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop reachability over the bipartite customer-supplier purchase
+    graph: per seed customer, how many suppliers they bought from and
+    how many OTHER customers share one of those suppliers. The BFS
+    primitive done scale-right: each frontier is DEDUPED before the
+    next expansion (distinct per level), so path multiplicity never
+    compounds — the classic failure mode of naive iterative joins. The
+    edge list is one distinct shuffle on (cust, supp); hop-2 rides one
+    join keyed on the supplier (hub-supplier skew is AQE skew-join
+    territory; a frequency cap like q64/q65's is the production guard)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    from dropbox_duckdb_playground_spark.materialize import materialize
+
+    e = materialize(e)
+    h1 = e.filter(F.col("cust") < 20).select(F.col("cust").alias("seed"), "supp")
+    h2 = (
+        h1.join(e, "supp")
+        .filter(F.col("cust") != F.col("seed"))
+        .select("seed", "cust")
+        .distinct()
+    )
+    a1 = h1.groupBy("seed").agg(
+        F.countDistinct("supp").cast("long").alias("n_suppliers")
+    )
+    a2 = h2.groupBy("seed").agg(F.count("*").cast("long").alias("n_cust_2hop"))
+    return a1.join(a2, "seed", "left").select(
+        "seed",
+        "n_suppliers",
+        F.coalesce(F.col("n_cust_2hop"), F.lit(0)).alias("n_cust_2hop"),
+    )
+
+
+@register(
+    "q110_tokenizer_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT source,
+             len(regexp_extract_all(text,
+                 '{TX.BPE_ISH_PATTERN.replace("'", "''")}')) AS bpe,
+             len(regexp_extract_all(trim(text), '\\S+')) AS ws
+      FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 4) AS fertility
+    FROM per_doc GROUP BY source
+    """,
+    tags="llm-prep tokenizer fertility text-tokens A1",
+)
+def q110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per source: subword tokens (q39's
+    BPE-ish regex) per whitespace word — the cost model number a
+    training pipeline tracks per corpus slice (fertility drift flags
+    tokenizer/corpus mismatch). One narrow scan computes both counts
+    per document; the per-source rollup is a map-side-combined agg of
+    two longs, and the ratio is one double division of exact integers."""
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        TX.bpe_token_count("text").cast("long").alias("bpe"),
+        TX.token_count("text").cast("long").alias("ws"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.round(F.sum("bpe").cast("double") / F.sum("ws"), 4).alias("fertility"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 

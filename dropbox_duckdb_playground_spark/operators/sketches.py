@@ -195,3 +195,80 @@ def bloom_contains(probe: DataFrame, bits: DataFrame, col: str) -> DataFrame:
         marked.groupBy(*keys)
         .agg((F.sum(F.coalesce(F.col("__set__"), F.lit(0))) == BLOOM_K).alias("in_bloom"))
     )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value: str,
+    group: str,
+    bins: int = 64,
+    q_pcts: tuple[int, ...] = (25, 50, 90),
+) -> DataFrame:
+    """Mergeable equi-width-histogram quantile estimates per group — the
+    deterministic, scale-path alternative to exact sort-based medians
+    (q57): error is bounded by one bin width, the per-group state is at
+    most ``bins`` counters (mergeable across partitions AND groups,
+    because the bin edges are global), and the whole computation is two
+    corpus passes (global min/max, then one map-side-combined
+    (group, bin) count) no matter the data size. Engine-stable by
+    construction: bin indices are integer floors of one fixed double
+    expression, and the quantile rank test is exact integer math
+    (cum*100 >= q*n), so no float comparison can flip between engines.
+
+    Output: (group, q_pct, est) — est is the RIGHT edge of the first
+    bin whose cumulative count reaches the q-th percentile."""
+    from pyspark.sql import Window
+
+    mm = df.agg(
+        F.min(F.col(value).cast("double")).alias("mn"),
+        F.max(F.col(value).cast("double")).alias("mx"),
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(bins))
+    binned = (
+        df.crossJoin(F.broadcast(mm))
+        .select(
+            F.col(group).alias("grp"),
+            "mn",
+            "mx",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor((F.col(value).cast("double") - F.col("mn")) / width),
+                )
+            )
+            .cast("int")
+            .alias("bin"),
+        )
+    )
+    counts = binned.groupBy("grp", "mn", "mx", "bin").agg(
+        F.count("*").alias("cnt")
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("grp")
+    cum = counts.select(
+        "grp",
+        "mn",
+        "mx",
+        "bin",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    qdf = cum.select(
+        "*", F.explode(F.array(*[F.lit(p) for p in q_pcts])).alias("q_pct")
+    ).filter(F.col("cum") * 100 >= F.col("q_pct") * F.col("n"))
+    first = qdf.groupBy("grp", "q_pct", "mn", "mx").agg(
+        F.min("bin").alias("qbin")
+    )
+    return first.select(
+        F.col("grp").alias(group),
+        "q_pct",
+        (
+            F.col("mn")
+            + (F.col("qbin") + 1) * ((F.col("mx") - F.col("mn")) / F.lit(float(bins)))
+        ).alias("est"),
+    )

@@ -118,3 +118,33 @@ class TestPageRank:
         rows = out.collect()
         assert all(r.node.startswith("S") for r in rows)
         assert all(r.rank > 0 for r in rows)
+
+
+def test_histogram_quantiles_within_one_bin_of_exact(spark):
+    import numpy as np
+
+    from dropbox_duckdb_playground_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    vals = [(float((i * 37) % 1000), "g1" if i % 2 else "g2") for i in range(500)]
+    df = spark.createDataFrame(vals, "v double, grp string")
+    out = histogram_quantiles(df, value="v", group="grp", bins=64).collect()
+    width = (999.0 - 0.0) / 64
+    arr = {g: sorted(v for v, gg in vals if gg == g) for g in ("g1", "g2")}
+    assert len(out) == 6
+    for r in out:
+        xs = arr[r["grp"]]
+        exact = xs[min(len(xs) - 1, int(np.ceil(r["q_pct"] / 100 * len(xs))) - 1)]
+        assert abs(r["est"] - exact) <= width + 1e-9, (r, exact)
+
+
+def test_histogram_quantiles_constant_column(spark):
+    from dropbox_duckdb_playground_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame([(5.0, "a")] * 10, "v double, grp string")
+    out = histogram_quantiles(df, value="v", group="grp").collect()
+    # mx == mn: every row lands in bin 0 and the estimate collapses to mn
+    assert all(r["est"] == 5.0 for r in out)
