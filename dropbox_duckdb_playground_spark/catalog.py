@@ -5007,6 +5007,114 @@ def q110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q111_zorder_layout",
+    oracle="""
+    WITH mm AS (
+      SELECT min(CAST(o_custkey AS DOUBLE)) AS c_mn,
+             max(CAST(o_custkey AS DOUBLE)) AS c_mx,
+             min(CAST(datediff('day', DATE '1990-01-01', o_orderdate) AS DOUBLE)) AS d_mn,
+             max(CAST(datediff('day', DATE '1990-01-01', o_orderdate) AS DOUBLE)) AS d_mx
+      FROM orders),
+    ranked AS (
+      SELECT o.o_orderkey, o.o_custkey,
+             CAST(datediff('day', DATE '1990-01-01', o.o_orderdate) AS BIGINT) AS d,
+             CAST(CASE WHEN mm.c_mx = mm.c_mn THEN 0
+                  ELSE least(255, floor((CAST(o.o_custkey AS DOUBLE) - mm.c_mn)
+                                        / ((mm.c_mx - mm.c_mn) / 256.0)))
+                  END AS BIGINT) AS r0,
+             CAST(CASE WHEN mm.d_mx = mm.d_mn THEN 0
+                  ELSE least(255, floor((CAST(datediff('day', DATE '1990-01-01',
+                                                       o.o_orderdate) AS DOUBLE)
+                                         - mm.d_mn)
+                                        / ((mm.d_mx - mm.d_mn) / 256.0)))
+                  END AS BIGINT) AS r1
+      FROM orders o CROSS JOIN mm),
+    zed AS (
+      SELECT o_orderkey, o_custkey, d,
+             ((r0 & 1) << 0) | ((r1 & 1) << 1)
+           | (((r0 >> 1) & 1) << 2) | (((r1 >> 1) & 1) << 3)
+           | (((r0 >> 2) & 1) << 4) | (((r1 >> 2) & 1) << 5)
+           | (((r0 >> 3) & 1) << 6) | (((r1 >> 3) & 1) << 7)
+           | (((r0 >> 4) & 1) << 8) | (((r1 >> 4) & 1) << 9)
+           | (((r0 >> 5) & 1) << 10) | (((r1 >> 5) & 1) << 11)
+           | (((r0 >> 6) & 1) << 12) | (((r1 >> 6) & 1) << 13)
+           | (((r0 >> 7) & 1) << 14) | (((r1 >> 7) & 1) << 15) AS zval
+      FROM ranked)
+    SELECT zval >> 8 AS zfile,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(o_custkey) AS min_cust, max(o_custkey) AS max_cust,
+           min(d) AS min_day, max(d) AS max_day
+    FROM zed GROUP BY zval >> 8
+    """,
+    tags="layout zorder morton clustering file-skipping",
+)
+def q111_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Z-order layout report over orders: each row's
+    (custkey, order-day) pair is equal-width bucketized to 8-bit ranks,
+    Morton-interleaved, and grouped by the 8-bit z-prefix — one group
+    per would-be output file of ``layout.zorder_write``. The per-group
+    min/max of BOTH dimensions is the point: z-ordering keeps every
+    file's footer statistics narrow on every clustering column, which
+    is what turns point/range predicates into file skips at 100 TB.
+    The write path itself (repartitionByRange + sortWithinPartitions)
+    is exercised in tests/test_layout.py; this query puts the key
+    derivation — bucketize, interleave, prefix-group — under the
+    cross-engine hash check (equal-width ranks rather than
+    approxQuantile, whose sketch is engine-private)."""
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01")).cast("bigint")
+    mm = o.agg(
+        F.min(F.col("o_custkey").cast("double")).alias("c_mn"),
+        F.max(F.col("o_custkey").cast("double")).alias("c_mx"),
+        F.min(day.cast("double")).alias("d_mn"),
+        F.max(day.cast("double")).alias("d_mx"),
+    )
+
+    def rank(v, mn, mx, bins=256):
+        return (
+            F.when(F.col(mx) == F.col(mn), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.lit(bins - 1),
+                    F.floor(
+                        (v.cast("double") - F.col(mn))
+                        / ((F.col(mx) - F.col(mn)) / F.lit(float(bins)))
+                    ),
+                )
+            )
+            .cast("bigint")
+        )
+
+    ranked = o.crossJoin(F.broadcast(mm)).select(
+        "o_orderkey",
+        "o_custkey",
+        day.alias("d"),
+        rank(F.col("o_custkey"), "c_mn", "c_mx").alias("r0"),
+        rank(day, "d_mn", "d_mx").alias("r1"),
+    )
+    z = F.lit(0).cast("bigint")
+    for b in range(8):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("r0"), b).bitwiseAND(F.lit(1)), 2 * b)
+        ).bitwiseOR(
+            F.shiftleft(
+                F.shiftright(F.col("r1"), b).bitwiseAND(F.lit(1)), 2 * b + 1
+            )
+        )
+    return (
+        ranked.withColumn("zval", z)
+        .groupBy(F.shiftright(F.col("zval"), 8).alias("zfile"))
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.min("o_custkey").alias("min_cust"),
+            F.max("o_custkey").alias("max_cust"),
+            F.min("d").alias("min_day"),
+            F.max("d").alias("max_day"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 

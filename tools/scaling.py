@@ -64,6 +64,15 @@ SF1_QUERIES = [
     "q80_boilerplate",
     "q89_chunk_dedup",
     "q91_knn_classify",
+    "q92_pagerank",
+    "q93_hll_distinct",
+    "q95_bloom_contamination",
+    "q100_curation_policy",
+    "q105_triangle_count",
+    "q106_bm25_topk",
+    "q107_pq_ann",
+    "q108_histogram_quantiles",
+    "q109_khop_reach",
 ]
 
 
