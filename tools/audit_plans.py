@@ -65,6 +65,23 @@ ALLOWED = {
     # reuses q28's brute-force exact-kNN baseline (bounded query block
     # broadcast x corpus); q36 LSH / q62 IVF are the scale paths.
     "q91_knn_classify": "cartesian",
+    # scalar-subquery idiom (q68 family): the dangling-mass scalar is a
+    # 1-row aggregate crossJoined back into each PageRank iteration.
+    "q92_pagerank": "cartesian",
+    # the 64-bucket register spine crossJoins the 3-row column-name
+    # list — both sides are constants (192 rows total), not data-sized.
+    "q93_hll_distinct": "cartesian",
+    # scalar-subquery idiom: the 1-row (total, count) aggregate attaches
+    # to the per-part value table for the HAVING threshold (TPC-H Q11).
+    "q102_tpch_q11": "cartesian",
+    # scalar-subquery idiom: the 1-row (n_docs, tot_dl) corpus aggregate
+    # attaches to the scored postings for the BM25 length norm.
+    "q106_bm25_topk": "cartesian",
+    # scalar-subquery idiom: the 1-row global (min, max) aggregate
+    # attaches to every row to derive the shared histogram bin edges.
+    "q108_histogram_quantiles": "cartesian",
+    # same (min, max) scalar idiom for the shared z-order bucket edges.
+    "q111_zorder_layout": "cartesian",
 }
 
 
