@@ -5115,6 +5115,145 @@ def q111_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q112_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+               AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags="sql grouping-sets rollup A1 olap",
+)
+def q112_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS with grouping flags — completes the
+    group-extension family (ROLLUP q30, CUBE q55): three explicit
+    granularities in ONE aggregation pass (Spark expands the sets
+    map-side, so the fact is scanned once, not once per set). The
+    grouping id is recomposed from per-column GROUPING() bits so both
+    engines emit the identical discriminator."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            (
+                F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
+            ).cast("long").alias("gid"),
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+    )
+
+
+@register(
+    "q113_bag_setops",
+    oracle="""
+    WITH i AS (
+      SELECT nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey FROM supplier)),
+    x AS (
+      SELECT nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL
+        SELECT s_nationkey FROM supplier)),
+    ic AS (SELECT nationkey, CAST(count(*) AS BIGINT) AS n
+           FROM i GROUP BY nationkey),
+    xc AS (SELECT nationkey, CAST(count(*) AS BIGINT) AS n
+           FROM x GROUP BY nationkey)
+    SELECT 'intersect_all' AS op, nationkey, n FROM ic
+    UNION ALL
+    SELECT 'except_all', nationkey, n FROM xc
+    """,
+    tags="sql set-ops bag-semantics U1 olap",
+)
+def q113_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL with bag (multiplicity) semantics over
+    the customer vs supplier nation multisets — the set-operator corner
+    the U1-U3 union family doesn't cover. Spark's intersectAll/exceptAll
+    compile to a count-compare aggregate (min/difference of per-key
+    multiplicities) — one shuffle per side, no row-by-row matching; the
+    long-form (op, nationkey, n) output keeps the result bounded by
+    |nations| regardless of corpus size."""
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    ic = (
+        c.intersectAll(s)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "nationkey", "n")
+    )
+    xc = (
+        c.exceptAll(s)
+        .groupBy("nationkey")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("op"), "nationkey", "n")
+    )
+    return ic.unionAll(xc)
+
+
+@register(
+    "q114_sliding_window",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE)
+               AS sum_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id
+                 ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                 RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+    tags="sql window range-frame sliding streaming-analog W1",
+)
+def q114_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed sliding aggregate: per event, the count and value
+    sum of the SAME USER's events in the preceding hour — the
+    value-based window frame (RANGE BETWEEN n PRECEDING) that q96's
+    row-frame suite doesn't exercise, and the batch analog of a
+    streaming sliding-window aggregation. The frame bound is an integer
+    epoch-second, so peer grouping is identical in both engines, and
+    the in-frame value sum is DECIMAL (exact, order-free). One shuffle
+    on user_id; the frame scan is linear per partition (Spark keeps a
+    sliding frame, not a per-row rescan)."""
+    e = load(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts")).alias("sec")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("sec"))
+        .rangeBetween(-3599, Window.currentRow)
+    )
+    return (
+        e.select("event_id", "user_id", sec, F.col("value"))
+        .select(
+            "event_id",
+            "user_id",
+            "sec",
+            F.count("*").over(w).cast("long").alias("n_1h"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).over(w), 2
+            ).cast("double").alias("sum_1h"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
