@@ -5254,6 +5254,113 @@ def q114_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q115_positional_index",
+    oracle="""
+    WITH pos AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS term,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS p
+      FROM documents)
+    SELECT term, doc_id,
+           CAST(count(*) AS BIGINT) AS tf,
+           list(CAST(p AS INT) ORDER BY p) AS positions
+    FROM pos
+    GROUP BY term, doc_id
+    """,
+    tags="ir inverted-index positions N2 llm-prep",
+)
+def q115_positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index: (term, doc, tf, sorted position list)
+    — the phrase/proximity-query data structure on top of the df/idf
+    family (q60/q61) and BM25 (q106). One posexplode + one
+    map-side-combined groupBy on (term, doc); positions are
+    sort_array'd inside the group so the list is deterministic (a bare
+    collect_list order is not). At 100 TB the index rows shuffle on the
+    (term, doc) key and postings stay bounded by document length."""
+    d = load(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        F.posexplode(TX.tokens_col("text")).alias("p0", "term"),
+    ).select("doc_id", "term", (F.col("p0") + 1).cast("int").alias("p"))
+    return pos.groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf"),
+        F.sort_array(F.collect_list("p")).alias("positions"),
+    )
+
+
+@register(
+    "q116_bigram_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS p
+      FROM documents),
+    bi AS (
+      SELECT tok AS w1, lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY p) AS w2
+      FROM toks),
+    bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+           FROM bi WHERE w2 IS NOT NULL GROUP BY w1, w2),
+    uc AS (SELECT w1 AS w, CAST(count(*) AS BIGINT) AS c
+           FROM bi WHERE w2 IS NOT NULL GROUP BY w1),
+    n AS (SELECT CAST(sum(c12) AS BIGINT) AS n FROM bc)
+    SELECT w1, w2, c12, pmi FROM (
+      SELECT bc.w1, bc.w2, bc.c12,
+             round(ln(CAST(bc.c12 AS DOUBLE) * n.n / u1.c / u2.c), 4) AS pmi,
+             row_number() OVER (
+               ORDER BY round(ln(CAST(bc.c12 AS DOUBLE) * n.n / u1.c / u2.c), 4)
+                        DESC, bc.w1 ASC, bc.w2 ASC) AS rn
+      FROM bc
+      JOIN uc u1 ON bc.w1 = u1.w
+      JOIN uc u2 ON bc.w2 = u2.w
+      CROSS JOIN n
+      WHERE bc.c12 >= 5)
+    WHERE rn <= 20
+    """,
+    tags="text collocation pmi ngram llm-prep",
+)
+def q116_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 bigrams by pointwise mutual
+    information (min count 5) — the phrase-detection statistic used to
+    build tokenizer merge lists and stop-phrase filters. Bigram and
+    left-unigram counts come from ONE windowed pass over the token
+    stream; the unigram table is vocabulary-sized and broadcast twice;
+    the top-k is a rounded-PMI global sort of the (vocabulary-bounded,
+    count>=5-pruned) bigram table. PMI's ln() is rounded to 4 decimals
+    with lexicographic tie-breaks, so the ranking is engine-stable."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(TX.tokens_col("text")).alias("p", "tok")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("p")
+    bi = toks.select(
+        F.col("tok").alias("w1"), F.lead("tok", 1).over(wdoc).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uc = bi.groupBy(F.col("w1").alias("w")).agg(F.count("*").alias("c"))
+    n = bc.agg(F.sum("c12").alias("n"))
+    pmi = F.round(
+        F.log(
+            F.col("c12").cast("double") * F.col("n") / F.col("u1c") / F.col("u2c")
+        ),
+        4,
+    )
+    scored = (
+        bc.filter(F.col("c12") >= 5)
+        .join(F.broadcast(uc.select(F.col("w").alias("w1"), F.col("c").alias("u1c"))), "w1")
+        .join(F.broadcast(uc.select(F.col("w").alias("w2"), F.col("c").alias("u2c"))), "w2")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+    )
+    wtop = Window.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 20)
+        .select("w1", "w2", "c12", "pmi")
+    )
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
