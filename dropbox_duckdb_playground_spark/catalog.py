@@ -5361,6 +5361,82 @@ def q116_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q117_array_suite",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_sort(list_distinct(string_split_regex(trim(text), '\\s+')))
+                 AS toks
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_distinct,
+           CAST(len(list_intersect(toks,
+                ['the','a','of','and','to','in'])) AS INT) AS n_stop,
+           CAST(len(list_filter(toks, x -> length(x) >= 6)) AS INT) AS n_long,
+           toks[1:3] AS first3,
+           CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+                AS BIGINT) AS chars_distinct
+    FROM t
+    """,
+    tags="sql array higher-order N2 complex-types",
+)
+def q117_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array / higher-order-function suite over per-document distinct
+    token arrays: set intersection against a literal array, lambda
+    filter, slice, and a transform+aggregate fold — the complex-type
+    surface beyond the JSON family (q14/q15/q32). Arrays are
+    distinct+sorted FIRST so every derived value (and the sliced
+    prefix) is deterministic in both engines; everything is per-row
+    Column arithmetic, no shuffle at all."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.array_sort(F.array_distinct(TX.tokens_col("text")))
+    stops = F.array(*[F.lit(s) for s in TX.DEFAULT_STOPWORDS])
+    t = d.select("doc_id", toks.alias("toks"))
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_distinct"),
+        F.size(F.array_intersect("toks", stops)).alias("n_stop"),
+        F.size(F.filter("toks", lambda x: F.length(x) >= 6)).alias("n_long"),
+        F.slice("toks", 1, 3).alias("first3"),
+        F.aggregate(
+            F.transform("toks", lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("chars_distinct"),
+    )
+
+
+@register(
+    "q118_percentile_cont",
+    oracle="""
+    SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.25), 4) AS p25,
+           round(quantile_cont(c_acctbal, 0.50), 4) AS p50,
+           round(quantile_cont(c_acctbal, 0.95), 4) AS p95
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags="sql percentile-cont quantile A1 olap",
+)
+def q118_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_cont semantics) of
+    customer balance per market segment — the SQL-function face of the
+    quantile family (exact sort medians q57, mergeable histogram
+    sketch q108). Both engines implement the standard linear
+    interpolation r = p*(n-1) over the sorted group, so the rounded
+    values agree bit-for-bit; the aggregate itself is one shuffle on
+    the segment key (Spark's percentile is a typed-aggregate buffer,
+    no global sort)."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        *[
+            F.round(F.percentile("c_acctbal", F.lit(p)), 4).alias(n)
+            for p, n in [(0.25, "p25"), (0.50, "p50"), (0.95, "p95")]
+        ]
+    )
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
