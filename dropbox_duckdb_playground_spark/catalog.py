@@ -5437,6 +5437,84 @@ def q118_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q119_fk_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS relation,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_rows,
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem->part',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem->supplier',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'nation->region',
+           (SELECT count(*) FROM nation),
+           (SELECT count(*) FROM nation n
+            WHERE NOT EXISTS (SELECT 1 FROM region r
+                              WHERE r.r_regionkey = n.n_regionkey))
+    """,
+    tags="validation fk-audit anti-join V1 data-quality",
+)
+def q119_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the whole star schema — the
+    validation family (V1 link-id checks, plans/pipeline
+    ValidateLinkIds) as an oracle-checked report: per FK edge, total
+    rows and orphan count via left-anti join against the referenced
+    key set. Each fact is scanned with only its key column read
+    (pushdown); the referenced key side is left to AQE — broadcast when
+    the dimension is small (nation/region), shuffled anti join when it
+    is another fact (orders at 100 TB is not broadcastable). The
+    per-edge scalar pair unions into a 6-row report. This is the query
+    a pipeline runs as its post-load gate."""
+
+    def edge(name, fact, fk, dim, pk):
+        f = load(spark, sf_dir, fact).select(fk)
+        d = load(spark, sf_dir, dim).select(pk)
+        orphans = f.join(d, f[fk] == d[pk], "left_anti")
+        return (
+            f.agg(F.count("*").alias("n_rows"))
+            .crossJoin(F.broadcast(orphans.agg(F.count("*").alias("n_orphans"))))
+            .select(F.lit(name).alias("relation"), "n_rows", "n_orphans")
+        )
+
+    edges = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = None
+    for e in edges:
+        part = edge(*e)
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
