@@ -5515,6 +5515,136 @@ def q119_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@register(
+    "q120_train_manifest",
+    oracle=f"""
+    WITH {DOC_CLUSTER_CTES},
+    surv AS (
+      SELECT min(node_id) AS doc_id FROM doc_labels GROUP BY cluster_id),
+    qt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+           FROM documents),
+    qf AS (SELECT doc_id,
+                  len(tk) AS n_tok_raw,
+                  greatest(len(tk), 1) AS n_tok,
+                  len(list_filter(tk, x -> list_contains(
+                      ['the','a','of','and','to','in'], x))) AS stop_cnt,
+                  len(list_distinct(tk)) AS n_distinct,
+                  list_aggregate(list_transform(tk, x -> length(x)), 'sum')
+                      AS char_sum
+           FROM qt),
+    qq AS (SELECT doc_id,
+                  CAST(n_tok_raw AS BIGINT) AS n_tokens,
+                  round(least(n_tok_raw / 100.0, 1.0) * 0.25
+                        + least(stop_cnt * 5.0 / n_tok, 1.0) * 0.25
+                        + (n_distinct * 1.0 / n_tok) * 0.25
+                        + (CASE WHEN char_sum * 1.0 / n_tok >= 3
+                                     AND char_sum * 1.0 / n_tok <= 10
+                                THEN 1.0 ELSE 0.0 END) * 0.25, 4) AS quality
+           FROM qf),
+    bsh AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
+        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      WHERE g IS NOT NULL),
+    bfreq AS (SELECT g, count(*) AS n_docs FROM bsh GROUP BY g),
+    qboiler AS (
+      SELECT s.doc_id,
+             round(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0
+                   / count(*), 4) AS boiler_ratio
+      FROM bsh s JOIN bfreq f ON s.g = f.g
+      GROUP BY s.doc_id),
+    keepers AS (
+      SELECT qq.doc_id, qq.n_tokens, qq.quality,
+             coalesce(b.boiler_ratio, 0) AS boiler_ratio
+      FROM qq LEFT JOIN qboiler b ON qq.doc_id = b.doc_id
+      WHERE qq.n_tokens >= 25 AND qq.n_tokens <= 75
+        AND qq.quality >= 0.5
+        AND coalesce(b.boiler_ratio, 0) <= 0.95),
+    counts AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source
+               FROM documents GROUP BY source),
+    rates AS (SELECT source,
+                     CAST(floor(least(1.0, 2.0 / sqrt(n_source)) * 1000000)
+                          AS BIGINT) AS rate_ppm
+              FROM counts)
+    SELECT d.doc_id, d.source, d.lang,
+           k.n_tokens, k.quality, k.boiler_ratio, r.rate_ppm
+    FROM documents d
+    JOIN surv s ON d.doc_id = s.doc_id
+    JOIN keepers k ON d.doc_id = k.doc_id
+    JOIN rates r ON d.source = r.source
+    WHERE {DUCK_ID.format(x="'mix:' || d.source || ':' || CAST(d.doc_id AS VARCHAR)")}
+          % 1000000 < r.rate_ppm
+    """,
+    tags="llm-prep pipeline capstone dedup curation mixture",
+)
+def q120_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-corpus manifest — the query a data
+    pipeline ships as its final output, composing three families this
+    catalog verifies independently: fuzzy-dedup survivors (q47's
+    jaccard -> connected components -> min-id survivor), the curation
+    policy gate (q100's quality blend + corpus boilerplate share), and
+    the temperature mixture sample (q104's deterministic ppm hash).
+    One corpus produces three bounded side tables (survivor set,
+    keeper set, per-source rates); the final manifest is the corpus
+    scanned once more against those keys. Every stage is individually
+    hash-checked upstream, so a regression localizes to its family."""
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingles(d, n=3, with_size=True)
+    pairs = D.ngram_jaccard_pairs(sh, threshold=0.2)
+    surv = D.neardup_survivors(d, pairs).select("doc_id")
+
+    q = TX.quality_score(d)
+    sh3 = D.shingles(d, n=3)
+    freq = sh3.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    boiler = (
+        sh3.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+                / F.count("*"),
+                4,
+            ).alias("boiler_ratio")
+        )
+    )
+    keepers = (
+        q.join(boiler, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality",
+            F.coalesce(F.col("boiler_ratio"), F.lit(0)).alias("boiler_ratio"),
+        )
+        .filter(
+            F.col("n_tokens").between(25, 75)
+            & (F.col("quality") >= 0.5)
+            & (F.col("boiler_ratio") <= 0.95)
+        )
+    )
+    counts = d.groupBy("source").agg(F.count("*").cast("long").alias("n_source"))
+    rates = counts.select(
+        "source",
+        F.floor(F.least(F.lit(1.0), F.lit(2.0) / F.sqrt("n_source")) * 1000000)
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+    h = F.expr(
+        SPARK_ID.format(x="concat('mix:', source, ':', CAST(doc_id AS STRING))")
+    )
+    return (
+        d.select("doc_id", "source", "lang")
+        .join(surv, "doc_id")
+        .join(keepers, "doc_id")
+        .join(F.broadcast(rates), "source")
+        .filter(h % 1000000 < F.col("rate_ppm"))
+        .select(
+            "doc_id", "source", "lang",
+            "n_tokens", "quality", "boiler_ratio", "rate_ppm",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 

@@ -120,10 +120,29 @@ def main() -> int:
             quiesce(spark)
         return round(best, 3)
 
+    def fresh_session():
+        # Restart the JVM-side session between scale-factor sweeps: after
+        # a few hundred query executions the accumulated GC/broadcast/
+        # shuffle-tracker state inflates later measurements (measured
+        # ~2x on the sf1 heavy rows when they ran last in one session).
+        nonlocal spark
+        spark.stop()
+        spark = get_spark("scaling")
+        spark.sparkContext.setLogLevel("ERROR")
+        for warm_fn in list(qs.values())[:3]:
+            try:
+                warm_fn(spark, SFS[0]).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
+
     results: dict[str, list[float]] = {}
     for sf in SFS:
         for name, fn in qs.items():
             results.setdefault(name, []).append(run(fn, sf, name))
+        if sf != SFS[-1] or do_sf1:
+            fresh_session()
     sf1_times: dict[str, float] = {}
     if do_sf1:
         for name in SF1_QUERIES:
