@@ -180,6 +180,18 @@ def connected_components(
     mappings: list[DataFrame] = []
     n_raw = raw.count()
     if n_raw <= residual_threshold:
+        # a small edge set inherits the checkpoint's full partition
+        # count (32+ near-empty partitions), so every downstream stage
+        # pays a task per partition for rows that fit one task anyway —
+        # coalesce (narrow, no shuffle) collapses that fixed overhead.
+        # 50k rows per task is far under the union-find guard.
+        if n_raw <= 50_000:
+            raw = raw.coalesce(1)
+            nodes = (
+                raw.select(F.col("a").alias("node"))
+                .union(raw.select(F.col("b").alias("node")))
+                .distinct()
+            )
         if n_raw > 0:
             # no materialize: the mapping feeds exactly ONE consumer (the
             # compose join), so pinning it would only add a sync job —

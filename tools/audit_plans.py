@@ -82,6 +82,13 @@ ALLOWED = {
     "q108_histogram_quantiles": "cartesian",
     # same (min, max) scalar idiom for the shared z-order bucket edges.
     "q111_zorder_layout": "cartesian",
+    # scalar-subquery idiom: the 1-row total-bigram count attaches to
+    # the (count>=5-pruned, vocabulary-bounded) bigram table for PMI.
+    "q116_bigram_pmi": "cartesian",
+    # scalar-subquery idiom, six times over: each FK edge crossJoins
+    # its 1-row row-count aggregate with its 1-row orphan-count
+    # aggregate to form one report row.
+    "q119_fk_integrity": "cartesian",
 }
 
 
