@@ -190,3 +190,32 @@ def test_stable_id_deterministic_and_distinct_per_value(spark, vals):
     by_val = {}
     for v, h in zip(vals, a):
         assert by_val.setdefault(v, h) == h  # equal values -> equal ids
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_triangle_count_matches_brute_force(spark, edges):
+    from itertools import combinations
+
+    from dropbox_duckdb_playground_spark.operators.components import (
+        triangle_count,
+    )
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({n for e in und for n in e})
+    expected = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in und and (b, c) in und and (a, c) in und
+    )
+    if not und:
+        return
+    df = spark.createDataFrame(list(und), "src long, dst long")
+    got = triangle_count(df).collect()[0]["n_triangles"]
+    assert got == expected

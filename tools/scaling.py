@@ -73,6 +73,7 @@ SF1_QUERIES = [
     "q107_pq_ann",
     "q108_histogram_quantiles",
     "q109_khop_reach",
+    "q120_train_manifest",
 ]
 
 
