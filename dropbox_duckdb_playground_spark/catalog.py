@@ -5645,6 +5645,70 @@ def q120_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q121_fuzzy_match",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey, p_type, p_name,
+             string_split(p_name, ' ')[1] AS blk
+      FROM part),
+    pairs AS (
+      SELECT a.p_type, levenshtein(a.p_name, b.p_name) AS lev
+      FROM p a JOIN p b
+        ON a.p_type = b.p_type AND a.blk = b.blk
+       AND a.p_partkey < b.p_partkey)
+    SELECT p_type, CAST(lev AS INT) AS lev,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs WHERE lev <= 3
+    GROUP BY p_type, lev
+    """,
+    tags="er fuzzy-match levenshtein blocking E4 E6",
+)
+def q121_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching under ER blocking: part names are
+    blocked on (type, first name token) — the classic cheap blocking
+    key — and only within-block pairs pay a levenshtein evaluation;
+    the report counts near-matches (distance <= 3) per (type,
+    distance). Levenshtein is an exact integer in both engines, so no
+    rounding canonicalization is needed — the deterministic
+    string-distance scorer the reference's dedupe library applies
+    per-pair (reference analog: the pairwise feature scoring surface,
+    examples/graph/resolution/mapper/messy.py:301-345), done as one
+    blocked self-join instead of a Python worker pool. The self-join's
+    identical sides share one exchange (merge hint -> ReusedExchange);
+    block sizes are bounded by the key's selectivity, the same guard
+    as er/blocking.max_block_size."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_type",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(0).alias("blk"),
+    )
+    # pin the block partitioning: the shuffle is a few MB so AQE would
+    # coalesce it to one task, but the JOIN OUTPUT is ~|block|^2 pair
+    # evaluations — an explicit user repartition keeps the pair
+    # explosion spread across the cluster (AQE honors explicit counts)
+    p = p.repartition(32, "p_type", "blk")
+    l, r = p.alias("l"), p.hint("merge").alias("r")
+    pairs = l.join(
+        r,
+        (F.col("l.p_type") == F.col("r.p_type"))
+        & (F.col("l.blk") == F.col("r.blk"))
+        & (F.col("l.p_partkey") < F.col("r.p_partkey")),
+    ).select(
+        F.col("l.p_type").alias("p_type"),
+        # thresholded variant: banded DP that early-exits past the cap
+        # (returns -1 above it) — ~3x cheaper per pair than the full
+        # matrix when only near-matches matter, same kept values
+        F.levenshtein(F.col("l.p_name"), F.col("r.p_name"), 3).alias("lev"),
+    )
+    return (
+        pairs.filter(F.col("lev") >= 0)
+        .groupBy("p_type", "lev")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
