@@ -5709,6 +5709,214 @@ def q121_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q122_gapfill_locf",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             round(sum(CAST(value AS DECIMAL(18,6))), 2) AS v
+      FROM events GROUP BY 1, 2),
+    span AS (
+      SELECT user_id, min(day) AS d0, max(day) AS d1
+      FROM daily GROUP BY user_id),
+    spine AS (
+      SELECT s.user_id, CAST(unnest(generate_series(s.d0, s.d1,
+                                    INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span s)
+    SELECT sp.user_id, CAST(sp.day AS VARCHAR) AS day,
+           CAST(d.v IS NOT NULL AS INT) AS observed,
+           CAST(last_value(d.v IGNORE NULLS) OVER (
+                  PARTITION BY sp.user_id ORDER BY sp.day
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS v_filled
+    FROM spine sp LEFT JOIN daily d
+      ON sp.user_id = d.user_id AND sp.day = d.day
+    """,
+    tags="timeseries gapfill locf spine W1 streaming-analog",
+)
+def q122_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill + last-observation-carried-forward — the
+    missing-day densification every time-series rollup needs before
+    charting/joining: per user, a generated daily spine between their
+    first and last active day, left-joined against observed daily sums
+    and forward-filled with `last(ignoreNulls)`. The spine is built
+    in-plan with `sequence()` (no driver loop, rows bounded by
+    user-count x span); daily sums are DECIMAL-exact so the filled
+    value is engine-stable; the fill itself is one running window on
+    the existing user_id shuffle."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2).alias("v"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.col("day").cast("string").alias("day"),
+            F.col("v").isNotNull().cast("int").alias("observed"),
+            F.last("v", ignorenulls=True).over(w).cast("double").alias("v_filled"),
+        )
+    )
+
+
+@register(
+    "q123_retention_cohorts",
+    oracle="""
+    WITH weekly AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS wk
+      FROM events),
+    first_wk AS (
+      SELECT user_id, min(wk) AS cohort FROM weekly GROUP BY user_id),
+    sizes AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_n
+      FROM first_wk GROUP BY cohort),
+    act AS (
+      SELECT f.cohort,
+             CAST(datediff('week', f.cohort, w.wk) AS INT) AS week_k,
+             CAST(count(DISTINCT w.user_id) AS BIGINT) AS active_n
+      FROM weekly w JOIN first_wk f ON w.user_id = f.user_id
+      GROUP BY 1, 2)
+    SELECT CAST(a.cohort AS VARCHAR) AS cohort, a.week_k, s.cohort_n,
+           a.active_n,
+           round(a.active_n * 1.0 / s.cohort_n, 4) AS retention
+    FROM act a JOIN sizes s ON a.cohort = s.cohort
+    """,
+    tags="analytics retention cohort A1 J1 streaming-analog",
+)
+def q123_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — the product-analytics staple:
+    users are cohorted by first active week; cell (cohort, k) is the
+    fraction of the cohort active k weeks later. Built from ONE
+    distinct (user, week) activity table reused three ways (cohort
+    assignment, sizes, activity join) — the activity distinct and the
+    cohort min ride the same user_id shuffle, and the matrix itself is
+    cohort-x-weeks sized (bounded), never event-sized. The ratio is
+    one double division of exact counts, rounded identically."""
+    e = load(spark, sf_dir, "events")
+    weekly = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct()
+    first_wk = weekly.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    sizes = first_wk.groupBy("cohort").agg(
+        F.count("*").cast("long").alias("cohort_n")
+    )
+    act = (
+        weekly.join(first_wk, "user_id")
+        .groupBy(
+            "cohort",
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("int")
+            .alias("week_k"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("active_n"))
+    )
+    return act.join(sizes, "cohort").select(
+        F.col("cohort").cast("string").alias("cohort"),
+        "week_k",
+        "cohort_n",
+        "active_n",
+        F.round(F.col("active_n") / F.col("cohort_n"), 4).alias("retention"),
+    )
+
+
+@register(
+    "q124_ab_test",
+    oracle=f"""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CAST({DUCK_ID.format(x="'ab:' || CAST(user_id AS VARCHAR)")} % 2
+                  AS INT) AS arm
+      FROM events),
+    conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    arms AS (
+      SELECT a.arm,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x
+      FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+      GROUP BY a.arm),
+    wide AS (
+      SELECT max(CASE WHEN arm = 0 THEN n END) AS n0,
+             max(CASE WHEN arm = 0 THEN x END) AS x0,
+             max(CASE WHEN arm = 1 THEN n END) AS n1,
+             max(CASE WHEN arm = 1 THEN x END) AS x1
+      FROM arms)
+    SELECT n0, x0, n1, x1,
+           round(CAST(x0 AS DOUBLE) / n0, 4) AS p0,
+           round(CAST(x1 AS DOUBLE) / n1, 4) AS p1,
+           round((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+                 / sqrt((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                        * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                        * (1.0 / n0 + 1.0 / n1)), 4) AS z
+    FROM wide
+    """,
+    tags="analytics ab-test deterministic-assignment hypothesis-test",
+)
+def q124_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment readout: users hash into two arms
+    (portable md5 bucket — the same reproducible-assignment primitive
+    as q81/q104, so any engine reassigns identically), conversion =
+    ever purchased, and the two-proportion z-statistic comes out of
+    one pivoted 2-row aggregate. The z arithmetic is a fixed chain of
+    IEEE double ops over exact integer counts — identical in both
+    engines at 4-decimal rounding. Everything after the per-user
+    distinct is constant-sized."""
+    e = load(spark, sf_dir, "events")
+    assign = e.select(
+        "user_id",
+        (
+            F.expr(SPARK_ID.format(x="concat('ab:', CAST(user_id AS STRING))")) % 2
+        ).cast("int").alias("arm"),
+    ).distinct()
+    conv = (
+        e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    arms = (
+        assign.join(conv.withColumn("__c", F.lit(1)), "user_id", "left")
+        .groupBy("arm")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.when(F.col("__c").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("x"),
+        )
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("x"))).alias("x1"),
+    )
+    p0 = F.col("x0").cast("double") / F.col("n0")
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    pp = (F.col("x0") + F.col("x1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = (p1 - p0) / F.sqrt(
+        pp * (F.lit(1) - pp) * (F.lit(1.0) / F.col("n0") + F.lit(1.0) / F.col("n1"))
+    )
+    return wide.select(
+        "n0", "x0", "n1", "x1",
+        F.round(p0, 4).alias("p0"),
+        F.round(p1, 4).alias("p1"),
+        F.round(z, 4).alias("z"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # public API used by __spark_entry__.py
 
