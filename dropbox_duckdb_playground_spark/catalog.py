@@ -3822,9 +3822,10 @@ def q92_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'l_partkey', CAST(l_partkey AS VARCHAR) FROM lineitem
       UNION ALL
       SELECT 'l_suppkey', CAST(l_suppkey AS VARCHAR) FROM lineitem),
+    dv AS (SELECT DISTINCT col_name, v FROM vals),
     h AS (SELECT col_name, v,
                  {DUCK_ID.format(x="'hll:' || v")} AS h
-          FROM vals),
+          FROM dv),
     b AS (SELECT col_name, h % 64 AS bucket, h // 64 AS w FROM h),
     rho AS (SELECT col_name, bucket,
                    CASE WHEN w = 0 THEN 55 ELSE 55 - len(bin(w)) END AS rho
@@ -3845,8 +3846,8 @@ def q92_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                               * 36028797018963968.0
                               / CAST(s AS DOUBLE)) AS BIGINT) AS hll_estimate
             FROM sums),
-    exact AS (SELECT col_name, CAST(count(DISTINCT v) AS BIGINT) AS exact_distinct
-              FROM vals GROUP BY col_name)
+    exact AS (SELECT col_name, CAST(count(*) AS BIGINT) AS exact_distinct
+              FROM dv GROUP BY col_name)
     SELECT e.col_name, e.hll_estimate, x.exact_distinct,
            CAST(round(100.0 * (e.hll_estimate - x.exact_distinct)
                       / x.exact_distinct, 2) AS DOUBLE) AS err_pct
@@ -3859,35 +3860,45 @@ def q93_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     key columns — a sketch whose ESTIMATE is itself oracle-checkable
     because every degree of freedom (portable md5 hash, integer-shift
     register sums, one final double division) is pinned (sketches.py).
-    ONE scan computes all three column hashes and explodes them into
-    (col_name, bucket, rho) in-plan, so the fact is read exactly once
-    for the sketches; the shuffle carries <=64 partial maxima per
-    column. The exact counts ride a second scan as three partial
-    count-distincts in one agg (long keys, no string union)."""
+    Each key column is reduced to its DISTINCT value set first — one
+    single-long-column scan per key (columnar pruning makes the three
+    scans read the same total bytes as one 3-column scan, and per-column
+    map-side partial distinct keeps each shuffle at the column's own
+    cardinality instead of 3x the row count). The portable md5 hash
+    (the expensive engine-reproducible step) then runs on distinct
+    values only — duplicates hash identically, so the max-rho registers
+    are bit-identical while md5 runs on ~10% of the raw rows at sf0.1
+    (and less at scale, where key columns repeat more). The exact
+    counts are a groupBy count over the SAME distinct table, so no
+    second count-distinct pass exists anywhere in the plan."""
+    from dropbox_duckdb_playground_spark.materialize import pin
     from dropbox_duckdb_playground_spark.operators import sketches as SK
 
     li = load(spark, sf_dir, "lineitem")
     cols = ("l_orderkey", "l_partkey", "l_suppkey")
 
-    # stage 1: one md5 hash per column per row, computed exactly once
-    hashed = li.select(
-        *[SK._phash(F.col(c), "hll:").alias(f"h_{c}") for c in cols]
-    )
-
-    def bucket_rho(c: str):
-        h = F.col(f"h_{c}")
-        w = F.shiftright(h, 6)  # h div 64, h is a nonneg 60-bit value
-        return F.struct(
-            F.lit(c).alias("col_name"),
-            (h % SK.HLL_BUCKETS).alias("bucket"),
-            F.when(w == 0, F.lit(SK.HLL_WBITS + 1))
-            .otherwise(F.lit(SK.HLL_WBITS + 1) - F.length(F.bin(w)))
-            .alias("rho"),
+    # stage 1: per-column distinct (pruned single-column scans), tagged
+    # and unioned into one (col_name, v) table
+    vals = None
+    for c in cols:
+        dc = (
+            li.select(F.col(c).cast("long").alias("v"))
+            .distinct()
+            .select(F.lit(c).alias("col_name"), "v")
         )
+        vals = dc if vals is None else vals.unionAll(dc)
+    vals = pin(vals)  # two consumers: HLL registers + exact counts
 
-    exploded = hashed.select(
-        F.explode(F.array(*[bucket_rho(c) for c in cols])).alias("e")
-    ).select("e.col_name", "e.bucket", "e.rho")
+    # stage 2: portable hash on distinct values only
+    h = SK._phash(F.col("v").cast("string"), "hll:")
+    w = F.shiftright(h, 6)  # h div 64, h is a nonneg 60-bit value
+    exploded = vals.select(
+        "col_name",
+        (h % SK.HLL_BUCKETS).alias("bucket"),
+        F.when(w == 0, F.lit(SK.HLL_WBITS + 1))
+        .otherwise(F.lit(SK.HLL_WBITS + 1) - F.length(F.bin(w)))
+        .alias("rho"),
+    )
     regs0 = exploded.groupBy("col_name", "bucket").agg(F.max("rho").alias("reg"))
     spine = (
         spark.range(SK.HLL_BUCKETS)
@@ -3898,15 +3909,8 @@ def q93_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col_name", "bucket", F.coalesce(F.col("reg"), F.lit(0)).cast("int").alias("reg")
     )
     est = SK.hll_estimate(regs)
-    wide = li.agg(
-        *[F.countDistinct(c).cast("long").alias(c) for c in cols]
-    )
-    exact = wide.select(
-        F.expr(
-            "stack(3, "
-            + ", ".join(f"'{c}', {c}" for c in cols)
-            + ") AS (col_name, exact_distinct)"
-        )
+    exact = vals.groupBy("col_name").agg(
+        F.count("*").cast("long").alias("exact_distinct")
     )
     return est.join(exact, "col_name").select(
         "col_name",
@@ -5588,17 +5592,32 @@ def q120_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     One corpus produces three bounded side tables (survivor set,
     keeper set, per-source rates); the final manifest is the corpus
     scanned once more against those keys. Every stage is individually
-    hash-checked upstream, so a regression localizes to its family."""
+    hash-checked upstream, so a regression localizes to its family.
+
+    The 3-gram shingle table is projected ONCE to its 60-bit digest
+    form ``(doc_id, sh, sz)`` and every consumer — the Jaccard
+    inverted-index self-join (both sides), the corpus
+    shingle-frequency table, and the per-doc boilerplate ratio —
+    derives from that ONE subplan. The join sides and the boiler-join
+    left side are the identical projection exchanged on ``sh``, so
+    Spark's ReusedExchange executes the explode+digest pass once for
+    all three, with no pin/checkpoint barrier (measured faster than
+    caching the exploded rows: a cache re-scans 2M string rows per
+    consumer, while the reused exchange ships computed digests).
+    Boilerplate frequency over digests instead of raw strings is the
+    same collision trade the Jaccard join itself already makes."""
     d = load(spark, sf_dir, "documents")
     sh = D.shingles(d, n=3, with_size=True)
-    pairs = D.ngram_jaccard_pairs(sh, threshold=0.2)
+    hashed = sh.select(
+        "doc_id", D._hex60(F.col("shingle")).alias("sh"), "sz"
+    )
+    pairs = D.ngram_jaccard_pairs(hashed, threshold=0.2, pre_hashed=True)
     surv = D.neardup_survivors(d, pairs).select("doc_id")
 
     q = TX.quality_score(d)
-    sh3 = D.shingles(d, n=3)
-    freq = sh3.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    freq = hashed.groupBy("sh").agg(F.count("*").alias("n_docs"))
     boiler = (
-        sh3.join(freq, "shingle")
+        hashed.select("doc_id", "sh").join(freq, "sh")
         .groupBy("doc_id")
         .agg(
             F.round(

@@ -240,6 +240,7 @@ def ngram_jaccard_pairs(
     key: str = "doc_id",
     threshold: float = 0.2,
     max_shingle_freq: int | None = None,
+    pre_hashed: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via inverted-index join.
 
@@ -264,12 +265,23 @@ def ngram_jaccard_pairs(
     A shingle shared by k docs contributes k^2/2 candidate pairs while
     carrying ~zero similarity signal once k is large; the cap bounds
     per-shingle work at cap^2/2 regardless of corpus size. Default
-    ``None`` preserves exact semantics for oracle parity."""
-    cols = [F.col(key), _hex60(F.col("shingle")).alias("sh")]
+    ``None`` preserves exact semantics for oracle parity.
+
+    ``pre_hashed=True`` accepts a caller-built digest table (columns
+    ``key, sh[, sz]``) instead of raw shingles — for composed pipelines
+    (q120) where sibling branches consume the SAME digest projection and
+    Spark's ReusedExchange then runs the shingle+digest pass once for
+    all of them."""
     has_size = "sz" in shingle_df.columns and max_shingle_freq is None
-    if has_size:
-        cols.append(F.col("sz"))
-    hashed = shingle_df.select(*cols)
+    if pre_hashed:
+        hashed = shingle_df.select(
+            *([F.col(key), F.col("sh")] + ([F.col("sz")] if has_size else []))
+        )
+    else:
+        cols = [F.col(key), _hex60(F.col("shingle")).alias("sh")]
+        if has_size:
+            cols.append(F.col("sz"))
+        hashed = shingle_df.select(*cols)
     if max_shingle_freq is not None:
         fw = Window.partitionBy("sh")
         hashed = (
