@@ -147,6 +147,25 @@ def main() -> None:
     sys.stderr.flush()
     sys.stdout.flush()
     print(line, flush=True)
+    # The driver records only the LAST 2000 bytes of stdout; the full
+    # line above is ~7KB, so it can never survive that window whole.
+    # Emit a second, compact line (<2KB: short query keys, 2dp) as the
+    # FINAL stdout line so the captured tail always ends with one
+    # complete, parseable JSON document. Full payload: bench_out.json.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "queries": {
+            name.split("_", 1)[0]: round(t, 2) for name, t in timings.items()
+        },
+        "full": os.path.basename(out_path),
+    }
+    for k in ("oracle_total_cold", "oracle_total_warm"):
+        if k in out:
+            compact[k] = out[k]
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

@@ -788,6 +788,16 @@ def q25_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags="dedup-jaccard",
 )
 def q26_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNBOUNDED exact Jaccard pair mining — the measurement baseline,
+    NOT the production path. With no frequency cap, candidate pairs
+    grow with the square of shingle sharing; on a corpus whose shingle
+    space saturates (boilerplate, tiny vocabulary) that is inherently
+    superlinear — SCALING.md measures slope ~36x at sf1 on this
+    synthetic corpus, and DuckDB's identical algorithm scales worse
+    (~86x) on the same data, confirming it is data-inherent, not a plan
+    defect. Production dedup routes through the capped, oracle-checked
+    variants: q64 (``max_shingle_freq`` stop-shingle removal) and q65
+    (``max_bucket_size`` LSH bucket cap), both linear at sf1."""
     d = load(spark, sf_dir, "documents")
     sh = D.shingles(d, n=3, with_size=True)
     return D.ngram_jaccard_pairs(sh, threshold=0.2)
@@ -3067,7 +3077,7 @@ _SEM_STAGE = os.path.join(
       SELECT DISTINCT b.cand_id
       FROM assign a JOIN assign b
         ON a.list_id = b.list_id AND a.cand_id < b.cand_id
-      WHERE round({_cos_sql("a.c_vec", "b.c_vec")}, 4) >= 0.3)
+      WHERE {_cos_sql("a.c_vec", "b.c_vec")} >= 0.3 - 0.00005)
     SELECT s.cand_id AS vec_id, s.list_id,
            CASE WHEN d.cand_id IS NULL THEN 1 ELSE 0 END AS survived
     FROM assign s LEFT JOIN dead d ON s.cand_id = d.cand_id

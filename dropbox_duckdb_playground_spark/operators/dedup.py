@@ -265,7 +265,12 @@ def ngram_jaccard_pairs(
     A shingle shared by k docs contributes k^2/2 candidate pairs while
     carrying ~zero similarity signal once k is large; the cap bounds
     per-shingle work at cap^2/2 regardless of corpus size. Default
-    ``None`` preserves exact semantics for oracle parity.
+    ``None`` preserves exact semantics for oracle parity — it is the
+    MEASUREMENT BASELINE, inherently superlinear on a saturating
+    shingle space (any engine; see SCALING.md q26). Production runs
+    set ``max_shingle_freq`` (or use the LSH path with
+    ``max_bucket_size``); both capped variants are themselves
+    oracle-checked (catalog q64/q65).
 
     ``pre_hashed=True`` accepts a caller-built digest table (columns
     ``key, sh[, sz]``) instead of raw shingles — for composed pipelines

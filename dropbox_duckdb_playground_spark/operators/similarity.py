@@ -354,10 +354,22 @@ def semantic_dedup(
     a Catalyst self-join pays three interpreted higher-order-function
     array traversals per pair (dot + 2 norms), which profiled ~8x slower
     than the vectorized matmul on the same data; memory per task is
-    bounded by ``block`` x |cluster| doubles. ``round(cos,4) >= t`` is
-    evaluated as ``cos >= t - 0.00005`` — the exact HALF_UP preimage, so
-    the decision bit reproduces across engines (DuckDB replays the same
-    predicate in SQL over the staged vectors).
+    bounded by ``block`` x |cluster| doubles.
+
+    Cross-engine decision-bit parity: cosine is computed in the SAME
+    algebraic form the SQL oracle uses — raw dot divided by the product
+    of norms (NOT normalize-then-dot, whose per-element rounding
+    differs) — and both engines compare ``cos >= t - 0.00005`` (the
+    HALF_UP preimage of ``round(cos,4) >= t``), so the predicate TEXT
+    is identical on both sides. The one remaining degree of freedom is
+    float-sum ORDER (BLAS blocked/FMA vs DuckDB's sequential list
+    fold), a ~1-ULP (<1e-14) drift on 64-term sums; a pair flips only
+    if its true cosine lies within that distance of the threshold.
+    Thresholds are chosen at coarse values (0.3) where the corpus has
+    no cosine within 1e-6 of the cut, and the staged-parquet handshake
+    pins the vectors, so the bit is stable in practice; if you run this
+    against adversarial near-threshold data, widen the margin or accept
+    count-level (not hash-level) comparison.
 
     Output: (vec_id, list_id, survived) with survived in {0,1}. Pass
     ``stage_dir`` to stage the quantizer output so an external oracle
@@ -380,13 +392,15 @@ def semantic_dedup(
     def dedupe_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("cand_id", kind="mergesort").reset_index(drop=True)
         X = np.asarray(pdf["c_vec"].tolist(), dtype=np.float64)
-        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        # dot / (|a| * |b|) — the SQL oracle's algebraic form; do NOT
+        # pre-normalize (per-element rounding would diverge from it)
+        norms = np.maximum(np.linalg.norm(X, axis=1), 1e-12)
         n = len(X)
         dead = np.zeros(n, dtype=bool)
         block = 1024  # bounds task memory: block x n doubles per matmul
         for s in range(1, n, block):
             e = min(s + block, n)
-            S = X[s:e] @ X.T  # rows s..e vs ALL cluster members
+            S = (X[s:e] @ X.T) / (norms[s:e, None] * norms[None, :])
             lower = np.arange(n)[None, :] < np.arange(s, e)[:, None]
             dead[s:e] = ((S >= cut) & lower).any(axis=1)
         return pd.DataFrame(
@@ -418,13 +432,20 @@ def pq_assign(
     ``(codes, codebook)`` with codes = (cand_id, sub, code) long-form and
     codebook = (sub, code, centroid array<double>).
 
-    Like ``ivf_assign``: codebooks train DRIVER-SIDE on a bounded seeded
-    sample (corpus-size-independent), the corpus pays exactly ONE
-    Arrow-vectorized encoding pass, and ``stage_dir`` stages both tables
-    as parquet so a SQL oracle can replay everything downstream of the
-    trained model. At 100 TB the codes table is m bytes-ish per vector
-    (vs 4*dim for floats) — the point of PQ is that THIS is what you
-    keep hot for ANN scoring."""
+    Like ``ivf_assign``: codebooks train DRIVER-SIDE on a bounded
+    sample, the corpus pays exactly ONE Arrow-vectorized encoding pass,
+    and ``stage_dir`` stages both tables as parquet so a SQL oracle can
+    replay everything downstream of the trained model. The training
+    sample is FULLY deterministic: rows are taken in id-hash order
+    (``TakeOrderedAndProject`` — per-partition top-k then driver merge,
+    no shuffle, bounded memory), so the same corpus yields the same
+    codebook under ANY partitioning/file order, matching the seeded
+    centroid init. This costs one ranked scan instead of ``limit``'s
+    early-stop prefix read; PQ already pays a full encoding scan, so
+    training adds at most a comparable scan, and at 100 TB you'd train
+    once and reuse the staged codebook anyway. At 100 TB the codes
+    table is m bytes-ish per vector (vs 4*dim for floats) — the point
+    of PQ is that THIS is what you keep hot for ANN scoring."""
     import numpy as np
 
     from dropbox_duckdb_playground_spark.operators.relational import fan_out
@@ -435,11 +456,19 @@ def pq_assign(
     vecs = fan_out(embeddings).select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
     )
-    raw = embeddings.select(F.col(vec_col).alias("c_vec"))
-    train_cap = max(ksub * 256, 2048)
-    X = np.asarray(
-        raw.limit(train_cap).toPandas()["c_vec"].tolist(), dtype=np.float64
+    raw = embeddings.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
     )
+    train_cap = max(ksub * 256, 2048)
+    samp = raw.orderBy(
+        F.xxhash64(F.col("cand_id").cast("string")), "cand_id"
+    ).limit(train_cap)
+    # driver-side re-sort by id: the hash order selects WHICH rows, the
+    # id order fixes HOW the rng-seeded init sees them — both
+    # partition-independent, so the codebook is a pure function of
+    # (corpus, seed)
+    spdf = samp.toPandas().sort_values("cand_id", kind="mergesort")
+    X = np.asarray(spdf["c_vec"].tolist(), dtype=np.float64)
     rng = np.random.RandomState(seed)
     books = []
     for s in range(m):
@@ -479,11 +508,14 @@ def pq_assign(
             ])
         ).alias("e"),
     ).select("cand_id", "e.sub", "e.code")
+    # B.shape[1] = actual trained centroid count, which is < ksub when
+    # the training sample had fewer rows than ksub — iterate the real
+    # shape so a tiny corpus degrades gracefully instead of IndexError
     codebook = spark.createDataFrame(
         [
             (s, c, [float(x) for x in B[s, c]])
             for s in range(m)
-            for c in range(ksub)
+            for c in range(B.shape[1])
         ],
         "sub int, code int, centroid array<double>",
     )

@@ -84,7 +84,12 @@ ALLOWED = {
     "q111_zorder_layout": "cartesian",
     # scalar-subquery idiom: the 1-row total-bigram count attaches to
     # the (count>=5-pruned, vocabulary-bounded) bigram table for PMI.
-    "q116_bigram_pmi": "cartesian",
+    # global_window: the final top-20 rank runs `Window.orderBy` with no
+    # partition — a deliberate single-task step over an input already
+    # pruned to count>=5 bigrams of a bounded vocabulary (catalog.py
+    # q116 docstring), i.e. the serialized rows cannot grow with corpus
+    # size, only with vocabulary^2 after frequency pruning.
+    "q116_bigram_pmi": ("cartesian", "global_window"),
     # scalar-subquery idiom, six times over: each FK edge crossJoins
     # its 1-row row-count aggregate with its 1-row orphan-count
     # aggregate to form one report row.
@@ -104,10 +109,25 @@ def audit_one(name: str, p: str, out_cols: list[str]) -> dict:
         flags.append("cartesian")
     if "BatchEvalPython" in p:
         flags.append("row_python")
-    if re.search(r"Window .*\[\]\)?$", p, re.M) or "Window [" in p and (
-        "windowspecdefinition()" in p
-    ):
-        flags.append("global_window")
+    # Unpartitioned window: a Window node's `Arguments:` line prints
+    # (windowExprs, partitionSpec, orderSpec) as top-level [..] groups,
+    # OMITTING empty specs — so both `partitionBy(k)` (no order) and
+    # `orderBy(k)` (no partition — the real single-task funnel) print
+    # exactly TWO groups. The discriminator is the LAST group: an order
+    # spec carries ASC/DESC sort directions, a partition spec is bare
+    # column ids. (The old regex only matched the empty
+    # `windowspecdefinition()` literal and missed `Window.orderBy`
+    # without partitionBy entirely.)
+    for ln in p.splitlines():
+        if ln.startswith("Arguments:") and "windowspecdefinition" in ln:
+            groups = re.findall(r"\[[^\[\]]*\]", ln)
+            if len(groups) <= 2 and (
+                len(groups) < 2
+                or re.search(r"\b(ASC|DESC)\b", groups[-1])
+                or groups[-1] == "[]"
+            ):
+                flags.append("global_window")
+                break
     # over-read heuristic: wide payload columns scanned but absent from
     # the query's own output (joins/aggs that need them internally will
     # legitimately scan them — reviewed case-by-case below)
@@ -156,11 +176,13 @@ def main() -> int:
                                 "broadcasts": 0, "arrow_python": 0}))
             quiesce(spark)
             continue
-        if ALLOWED.get(name) in info["flags"]:
-            info["flags"] = [
-                f if f != ALLOWED[name] else f"{f} (allowed: see ALLOWED)"
-                for f in info["flags"]
-            ]
+        allowed = ALLOWED.get(name, ())
+        if isinstance(allowed, str):
+            allowed = (allowed,)
+        info["flags"] = [
+            f"{f} (allowed: see ALLOWED)" if f in allowed else f
+            for f in info["flags"]
+        ]
         rows.append((name, info))
         if any(f in HARD_FLAGS for f in info["flags"]):
             flagged[name] = p
