@@ -1396,7 +1396,14 @@ def q43_flagship_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference `examples/run_whole.py:51-56` (GraphConstructor): the
     whole crawl→tabularize→extract→ER→convert→group→export dataflow as
     one plan, over the driver's events (crawl output analog) and
-    documents (link-target corpus) tables."""
+    documents (link-target corpus) tables.
+
+    Scale note: the ER stage uses the UNBOUNDED exact pair-miner so the
+    oracle can replay the clustering decision; on a corpus whose
+    shingle space saturates it inherits q26's data-inherent quadratic
+    (SCALING.md q43 stage profile: pairing >90% of sf1 wall, CC and the
+    event side linear). Production flagship runs swap in the capped
+    q64/q65 pairing variants."""
     from dropbox_duckdb_playground_spark.er.clustering import convert_ids
     from dropbox_duckdb_playground_spark.sources.redisgraph import (
         redisgraph_link_header,
@@ -5951,6 +5958,12 @@ def q124_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Catalog in REGISTRATION (source) order — deterministic across
+    runs. ORDERING CONTRACT: the driver's correctness gate samples the
+    first 50 entries, so q01-q50 are arranged to span every SURVEY §2
+    family (S/P/F/J/A/W/U/M/V/E/N/C) plus one representative of each
+    LLM-pipeline family; keep any new query AFTER q50 unless it
+    introduces a brand-new family."""
     return {name: qd.fn for name, qd in REGISTRY.items()}
 
 
