@@ -37,7 +37,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dropbox_duckdb_playground_spark.materialize import materialize
-from dropbox_duckdb_playground_spark.operators.relational import fan_out
 
 if TYPE_CHECKING:  # pragma: no cover
     import pandas
@@ -158,10 +157,15 @@ def connected_components(
     id type (long, string)."""
     # checkpoint the raw edge projection ONCE — the upstream plan (often
     # an expensive pair-mining pipeline) must not re-execute for each of
-    # the node-set / edge-set derivations below
-    raw = materialize(
-        fan_out(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
-    )
+    # the node-set / edge-set derivations below. No fan_out here: the
+    # small path collapses to one task anyway, and the large path's
+    # canonicalize+distinct reshuffles to proper partitioning before the
+    # contraction — a pre-spread would be a wasted shuffle. (It was also
+    # actively harmful BEFORE the materialize: fan_out probes partition
+    # count via df.rdd, and under AQE that probe EXECUTES every shuffle
+    # stage of an un-materialized plan as a hidden job — measured as the
+    # whole pair-mining pipeline running twice per CC call.)
+    raw = materialize(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
     id_type = raw.schema["a"].dataType.simpleString()
     star_schema = f"u {id_type}, v {id_type}"
     # lazy on purpose: read once at composition time, straight off the

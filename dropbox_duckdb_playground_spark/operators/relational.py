@@ -22,7 +22,15 @@ def fan_out(df: DataFrame, partitions: int | None = None) -> DataFrame:
     downstream stage would otherwise run on ONE task no matter how many
     executors exist. The round-robin shuffle is priced at the input size
     (tiny by definition here); at 100 TB fact scale scans split on row
-    groups and this becomes a no-op decision for the caller."""
+    groups and this becomes a no-op decision for the caller.
+
+    CALL ONLY ON SCANS / NARROW PLANS (or materialized frames): the
+    partition probe below goes through ``df.rdd``, and under AQE that
+    EXECUTES every shuffle stage of the plan as a hidden job before any
+    action runs — on an expensive shuffled pipeline the work then runs
+    twice. For shuffle outputs a fan-out is pointless anyway (the
+    exchange already distributed the data); ``materialize`` first if
+    you genuinely need to re-spread a computed intermediate."""
     if partitions is None:
         partitions = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= partitions:

@@ -211,14 +211,17 @@ def ivf_assign(
     with cluster structure."""
     import numpy as np
 
-    from dropbox_duckdb_playground_spark.operators.relational import fan_out
-
-    vecs = fan_out(embeddings).select(
+    # natural scan partitioning for the assignment pass: at fact scale
+    # the parquet scan splits on row groups into plenty of tasks, and on
+    # a small corpus a forced 32-way fan-out only multiplies Python
+    # worker startup + output files (measured ~2s of pure overhead on a
+    # 2k-row staging write)
+    vecs = embeddings.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
     )
 
     # -- train: bounded sample -> driver numpy spherical k-means --------
-    # read the sample off the RAW input (pre-fan_out): the round-robin
+    # read the sample off the RAW input: the round-robin
     # repartition exists for the distributed assignment pass, and paying
     # its shuffle inside the driver-side sample job is pure waste
     raw = embeddings.select(F.col(vec_col).alias("c_vec"))
@@ -448,12 +451,13 @@ def pq_assign(
     of PQ is that THIS is what you keep hot for ANN scoring."""
     import numpy as np
 
-    from dropbox_duckdb_playground_spark.operators.relational import fan_out
-
     assert dim % m == 0
     dsub = dim // m
 
-    vecs = fan_out(embeddings).select(
+    # natural scan partitioning — same reasoning as ivf_assign: row-group
+    # splits parallelize the big case, a forced fan-out only taxes the
+    # small one with Python-worker startup and tiny staged files
+    vecs = embeddings.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
     )
     raw = embeddings.select(
