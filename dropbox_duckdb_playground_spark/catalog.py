@@ -3961,47 +3961,45 @@ def q93_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
       FROM documents),
+    tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt
+           FROM toks GROUP BY tok),
     fan AS (
-      SELECT t.tok, g.i,
+      SELECT t.tok, t.true_cnt, g.i,
              {DUCK_ID.format(x="'cm' || CAST(g.i AS VARCHAR) || ':' || t.tok")} % 256
                  AS bucket
-      FROM toks t CROSS JOIN (SELECT unnest(range(4)) AS i) g),
-    cells AS (SELECT i, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM tf t CROSS JOIN (SELECT unnest(range(4)) AS i) g),
+    cells AS (SELECT i, bucket, CAST(sum(true_cnt) AS BIGINT) AS cnt
               FROM fan GROUP BY i, bucket),
-    keys AS (SELECT DISTINCT tok FROM toks),
-    kh AS (
-      SELECT k.tok, g.i,
-             {DUCK_ID.format(x="'cm' || CAST(g.i AS VARCHAR) || ':' || k.tok")} % 256
-                 AS bucket
-      FROM keys k CROSS JOIN (SELECT unnest(range(4)) AS i) g),
-    est AS (SELECT kh.tok,
+    est AS (SELECT f.tok,
                    CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cm_estimate
-            FROM kh LEFT JOIN cells c ON kh.i = c.i AND kh.bucket = c.bucket
-            GROUP BY kh.tok),
-    truth AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt
-              FROM toks GROUP BY tok)
+            FROM fan f LEFT JOIN cells c ON f.i = c.i AND f.bucket = c.bucket
+            GROUP BY f.tok)
     SELECT e.tok, e.cm_estimate, t.true_cnt,
            CAST(e.cm_estimate - t.true_cnt AS BIGINT) AS overcount
-    FROM est e JOIN truth t ON e.tok = t.tok
+    FROM est e JOIN tf t ON e.tok = t.tok
     """,
     tags="sketch count-min frequency audit",
 )
 def q94_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Count-Min frequency sketch over the corpus token
     stream, audited against exact counts (overcount >= 0 always — the
-    one-sided error CM guarantees). The d x w counter matrix is built by
-    ONE map-side-combined groupBy of an in-plan 4-way fan-out; estimates
-    join the distinct-token set against the broadcast 1024-cell table.
-    At 100 TB the sketch side stays 1024 rows no matter the corpus."""
+    one-sided error CM guarantees). ONE map-side-combined groupBy
+    reduces the token stream to its frequency table first (the exact
+    counts the audit needs anyway); the d x w counter matrix is then
+    built from WEIGHTED increments over that table, so the portable md5
+    hash runs once per distinct token instead of once per occurrence —
+    the same hash-after-aggregate move as q93. The frequency table is
+    pinned for its three consumers (cells, key probes, truth join). At
+    100 TB the sketch side stays 1024 rows no matter the corpus."""
+    from dropbox_duckdb_playground_spark.materialize import pin
     from dropbox_duckdb_playground_spark.operators import sketches as SK
 
     d = load(spark, sf_dir, "documents")
     toks = d.select(F.explode(TX.tokens_col("text")).alias("tok"))
-    cells = SK.countmin_cells(toks, "tok")
-    keys = toks.distinct()
-    est = SK.countmin_estimates(cells, keys, "tok")
-    truth = toks.groupBy("tok").agg(F.count("*").alias("true_cnt"))
-    return est.join(truth, "tok").select(
+    tf = pin(toks.groupBy("tok").agg(F.count("*").alias("true_cnt")))
+    cells = SK.countmin_cells(tf, "tok", weight="true_cnt")
+    est = SK.countmin_estimates(cells, tf.select("tok"), "tok")
+    return est.join(tf, "tok").select(
         "tok",
         "cm_estimate",
         "true_cnt",

@@ -298,7 +298,11 @@ def ngram_jaccard_pairs(
             "sz", F.count("*").over(Window.partitionBy(key))
         )
         has_size = True
-        hashed = materialize(hashed)
+        # no materialize: the self-join's two sides are this identical
+        # subplan, so the final sh-exchange canonicalizes equal and the
+        # filtered/window pipeline executes once (ReusedExchange), same
+        # as the uncapped path — an eager checkpoint only added a sync
+        # job (and on a cluster, a DFS write) for no reuse gain
     elif not has_size:
         hashed = materialize(hashed)
         sizes = hashed.groupBy(key).agg(F.count("*").alias("sz"))

@@ -113,10 +113,18 @@ CM_DEPTH = 4
 CM_WIDTH = 256
 
 
-def countmin_cells(items: DataFrame, col: str = "tok") -> DataFrame:
+def countmin_cells(
+    items: DataFrame, col: str = "tok", weight: str | None = None
+) -> DataFrame:
     """(i, bucket, cnt): the d x w counter matrix from an item stream.
     Each row fans out to d (row, bucket) increments in-plan (explode of
-    a literal-built array — no UDF); one map-side-combined groupBy."""
+    a literal-built array — no UDF); one map-side-combined groupBy.
+
+    ``weight`` feeds pre-aggregated (item, count) rows instead of the
+    raw stream: cnt becomes sum(weight), identical registers, and the
+    portable md5 hash runs per DISTINCT item instead of per occurrence
+    — the right call whenever a frequency table already exists (the
+    same hash-after-aggregate move as q93's HLL)."""
     hashes = F.array(
         *[
             F.struct(
@@ -126,11 +134,18 @@ def countmin_cells(items: DataFrame, col: str = "tok") -> DataFrame:
             for i in range(CM_DEPTH)
         ]
     )
+    if weight is None:
+        return (
+            items.select(F.explode(hashes).alias("e"))
+            .select("e.i", "e.bucket")
+            .groupBy("i", "bucket")
+            .agg(F.count("*").alias("cnt"))
+        )
     return (
-        items.select(F.explode(hashes).alias("e"))
-        .select("e.i", "e.bucket")
+        items.select(F.col(weight), F.explode(hashes).alias("e"))
+        .select(weight, "e.i", "e.bucket")
         .groupBy("i", "bucket")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum(weight).alias("cnt"))
     )
 
 
