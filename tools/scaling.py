@@ -87,6 +87,20 @@ def classify(slope: float) -> str:
     return "SUPERLINEAR"
 
 
+# Adjudicated rows: measured superlinearity with a documented cause and
+# production path — the note rides the class cell on every regeneration.
+ROW_NOTES = {
+    "q26_jaccard_pairs": (
+        " (data-inherent measurement baseline — production path is"
+        " q64/q65, see analysis below)"
+    ),
+    "q43_flagship_graph": (
+        " (sf1 slope inherited from the unbounded pair-miner — see q43"
+        " stage profile below)"
+    ),
+}
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     out_md = args[0] if args else os.path.join(REPO, "SCALING.md")
@@ -185,6 +199,7 @@ def main() -> int:
             else:
                 sf1_cell = s1000_cell = ""
             n_super += cls == "SUPERLINEAR"
+            cls += ROW_NOTES.get(name, "")
             lines.append(
                 f"| {name} | {ts[0]:.2f} | {ts[1]:.2f} | {ts[2]:.2f} |"
                 f" {slope:.2f} | {sf1_cell} | {s1000_cell} | {cls} |"
@@ -214,6 +229,23 @@ def main() -> int:
         "caps — measured at sf1: q64_jaccard_capped (max_shingle_freq)",
         "~4.4s, q65_lsh_capped (max_bucket_size) ~2.8s — both",
         "oracle-checked catalog queries in their own right.",
+        "",
+        "### q43 flagship sf1 stage profile",
+        "",
+        "q43's sf1 slope is NOT a plan defect in the pipeline glue:",
+        "profiled per stage at sf1 (round 4), the unbounded",
+        "`ngram_jaccard_pairs` ER-pairing stage is >90% of the wall",
+        "time, while the downstream stages stay small and linear —",
+        "connected components over the matched pairs ~2s (the",
+        "single-task union-find fast path still applies: matched pairs",
+        "are sparse even when CANDIDATE pairs explode), and the whole",
+        "event-side tabularize->semi-join->fused-aggregate ~2.4s. So",
+        "q43 inherits exactly q26's documented data-inherent quadratic",
+        "through its ER stage, and the same production answer applies:",
+        "swap the pairing stage for the capped q64/q65 variants on",
+        "saturating corpora and the flagship scales linearly like its",
+        "other stages. Kept unbounded here because the oracle replays",
+        "the exact-Jaccard clustering decision.",
     ]
     with open(out_md, "w") as f:
         f.write("\n".join(lines) + "\n")
