@@ -316,3 +316,31 @@ def test_bm25_ranks_term_heavy_doc_first(spark):
     for term, rows in by_term.items():
         scores = [s for _, s in rows]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_jaccard_pre_hashed_matches_raw(spark):
+    # the digest-sharing entry point (q120) must produce the exact same
+    # pairs as the raw-shingle path
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),
+            (3, "p q r s t u v w"),
+        ],
+    )
+    sh = D.shingles(df, n=3, with_size=True)
+    raw = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in D.ngram_jaccard_pairs(sh, threshold=0.2).collect()
+    }
+    hashed = sh.select(
+        "doc_id", D._hex60(F.col("shingle")).alias("sh"), "sz"
+    )
+    pre = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in D.ngram_jaccard_pairs(
+            hashed, threshold=0.2, pre_hashed=True
+        ).collect()
+    }
+    assert raw == pre and len(raw) == 1  # only (1,2) overlap enough

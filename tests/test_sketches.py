@@ -148,3 +148,27 @@ def test_histogram_quantiles_constant_column(spark):
     out = histogram_quantiles(df, value="v", group="grp").collect()
     # mx == mn: every row lands in bin 0 and the estimate collapses to mn
     assert all(r["est"] == 5.0 for r in out)
+
+
+def test_countmin_weighted_equals_stream(spark):
+    # weighted increments over the frequency table must produce the
+    # exact same d x w registers as the raw occurrence stream
+    items = (
+        spark.range(30)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(0, CAST(id % 5 AS INT)), x -> id)")
+            ).alias("k")
+        )
+        .select(F.concat(F.lit("t"), "k").alias("tok"))
+    )
+    cells_stream = {
+        (r.i, r.bucket, r.cnt)
+        for r in SK.countmin_cells(items, "tok").collect()
+    }
+    tf = items.groupBy("tok").agg(F.count("*").alias("w"))
+    cells_weighted = {
+        (r.i, r.bucket, r.cnt)
+        for r in SK.countmin_cells(tf, "tok", weight="w").collect()
+    }
+    assert cells_stream == cells_weighted

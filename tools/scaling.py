@@ -98,6 +98,12 @@ ROW_NOTES = {
         " (sf1 slope inherited from the unbounded pair-miner — see q43"
         " stage profile below)"
     ),
+    "q34_er_doc_clusters": (
+        " (same inherited pair-miner quadratic as q43: the ER chain"
+        " runs the unbounded exact blocker for oracle parity; capped"
+        " blocking via max_block_size / q64-style freq caps is the"
+        " production path)"
+    ),
 }
 
 
@@ -160,11 +166,24 @@ def main() -> int:
             fresh_session()
     sf1_times: dict[str, float] = {}
     if do_sf1:
-        for name in SF1_QUERIES:
-            if name in qs:
-                # single rep: sf1 runs are long enough that scheduler
-                # noise is a small relative error
-                sf1_times[name] = run(qs[name], SF1, name, reps=1)
+        # The sf1 batch is 30 HEAVY queries back-to-back; round-4 showed
+        # the single session degrading through the batch (late rows
+        # measured up to 8x their fresh-session time — q95 35.7s in-batch
+        # vs 4.4s fresh). Restart every few rows and warm each query's
+        # own shape at sf0.01 so the sf1 rep measures the plan, not JIT.
+        for i, name in enumerate(n for n in SF1_QUERIES if n in qs):
+            if i % 6 == 0:
+                fresh_session()
+            try:
+                qs[name](spark, SFS[1]).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:
+                pass
+            quiesce(spark)
+            # single rep: sf1 runs are long enough that scheduler
+            # noise is a small relative error
+            sf1_times[name] = run(qs[name], SF1, name, reps=1)
 
     lines = [
         "# SCALING — measured growth of every query across 100x of data",
