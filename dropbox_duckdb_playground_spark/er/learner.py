@@ -219,6 +219,64 @@ class LabelingSession:
         return json.dumps(out)
 
 
+def console_label(
+    session: LabelingSession,
+    max_pairs: int = 50,
+    input_fn=input,
+    print_fn=print,
+) -> MatchModel | None:
+    """The reference's interactive ``console_label(deduper)`` REPL
+    (reference: examples/graph/resolution/learner.py:40-48) on top of
+    :class:`LabelingSession`: show one uncertain pair at a time, read
+    ``y`` (match) / ``n`` (distinct) / ``u`` (skip) / ``f`` (finish),
+    retrain per batch. I/O goes through injectable ``input_fn`` /
+    ``print_fn`` so the loop is testable with scripted stdin and
+    embeddable in any UI; only human-sized batches ever reach the
+    driver, so the same loop works over a 100 TB pair table.
+
+    Returns the trained model, or None if labeling ended before both
+    classes were seen."""
+    seen = 0
+    while seen < max_pairs:
+        batch = session.next_batch()
+        if not len(batch):
+            break
+        keep_rows, labels = [], []
+        finished = False
+        for row in batch.itertuples(index=False):
+            print_fn(f"a: {row.a_id}  b: {row.b_id}")
+            for f in session._fields:
+                print_fn(
+                    f"  {f}: {getattr(row, f'a_{f}')!r}"
+                    f"  vs  {getattr(row, f'b_{f}')!r}"
+                )
+            ans = ""
+            while ans not in ("y", "n", "u", "f"):
+                ans = str(input_fn("match? (y)es / (n)o / (u)nsure / (f)inished: ")).strip().lower()
+            if ans == "f":
+                finished = True
+                break
+            if ans == "u":
+                continue
+            keep_rows.append(row)
+            labels.append(ans == "y")
+            seen += 1
+        if keep_rows:
+            import pandas as pd
+
+            session.label(pd.DataFrame(keep_rows), labels)
+        elif not finished:
+            # an entirely-unsure batch would resurface the same pairs
+            # forever — stop instead of looping
+            break
+        if finished:
+            break
+    try:
+        return session.model()
+    except RuntimeError:
+        return None
+
+
 def save_model(model: MatchModel, path: str) -> None:
     """Persist the weights artifact (reference keeps a training JSON +
     binary model per matcher, learner.py:49-66 — ours is one JSON)."""

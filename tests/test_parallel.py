@@ -176,3 +176,51 @@ def test_labeling_session_active_loop(spark):
     art = json.loads(sess.training_json())
     assert len(art["match"]) + len(art["distinct"]) == 24
     assert all(p[0]["name"] == p[1]["name"] for p in art["match"])
+
+
+def test_console_label_scripted_stdin(spark):
+    """The reference's interactive console REPL (console_label) driven
+    by scripted input: y/n labels train a separating model, 'u' skips,
+    'f' finishes, and the prompt renders both sides of each field."""
+    from dropbox_duckdb_playground_spark.er.learner import (
+        LabelingSession,
+        console_label,
+    )
+
+    rows = []
+    for i in range(10):
+        rows.append((i, 100 + i, f"package-{i}", f"package-{i}"))
+        rows.append((200 + i, 300 + i, f"alpha-{i}", f"zz-{i * 7}-q"))
+    pairs = spark.createDataFrame(rows, ["a_id", "b_id", "a_name", "b_name"])
+
+    sess = LabelingSession(pairs, fields=["name"], batch_size=6)
+    printed: list[str] = []
+
+    def scripted(prompt_shown):
+        # answer per pair from what was just printed: identical names
+        # -> y, different -> n; sprinkle one unsure
+        line = next(ln for ln in reversed(printed) if ln.startswith("  name:"))
+        a, b = line.split("  vs  ")
+        if scripted.calls == 2:
+            scripted.calls += 1
+            return "u"
+        scripted.calls += 1
+        return "y" if a.replace("  name: ", "") == b.strip() else "n"
+
+    scripted.calls = 0
+    model = console_label(
+        sess, max_pairs=12, input_fn=scripted, print_fn=printed.append
+    )
+    assert model is not None and sess.n_labeled() >= 10
+
+    from pyspark.sql import functions as F
+
+    agg = model.scorer()(pairs).select(
+        F.min(F.when(F.col("a_name") == F.col("b_name"), F.col("score"))).alias("m"),
+        F.max(F.when(F.col("a_name") != F.col("b_name"), F.col("score"))).alias("d"),
+    ).collect()[0]
+    assert agg.m > agg.d
+
+    # 'f' finishes immediately with no labels -> no model
+    sess2 = LabelingSession(pairs, fields=["name"], batch_size=6)
+    assert console_label(sess2, input_fn=lambda _p: "f", print_fn=lambda _s: None) is None
