@@ -5155,8 +5155,7 @@ def q111_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
                AS gid,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
-               AS sum_qty
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
     """,
@@ -5168,7 +5167,11 @@ def q112_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     granularities in ONE aggregation pass (Spark expands the sets
     map-side, so the fact is scanned once, not once per set). The
     grouping id is recomposed from per-column GROUPING() bits so both
-    engines emit the identical discriminator."""
+    engines emit the identical discriminator. Quantities are whole
+    numbers, so the sum is an exact codegen'd BIGINT on both engines
+    (q73's integer-units move) — the decimal cast only bought the same
+    exactness at interpreted-BigDecimal cost over the 3x-expanded
+    grouping-set rows."""
     li = load(spark, sf_dir, "lineitem")
     return (
         li.groupingSets(
@@ -5181,7 +5184,7 @@ def q112_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus")
             ).cast("long").alias("gid"),
             F.count("*").alias("n"),
-            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
+            F.sum(F.round(F.col("l_quantity")).cast("long"))
             .cast("double")
             .alias("sum_qty"),
         )
