@@ -221,9 +221,6 @@ def ivf_assign(
     )
 
     # -- train: bounded sample -> driver numpy spherical k-means --------
-    # read the sample off the RAW input: the round-robin
-    # repartition exists for the distributed assignment pass, and paying
-    # its shuffle inside the driver-side sample job is pure waste
     raw = embeddings.select(F.col(vec_col).alias("c_vec"))
     train_cap = max(nlist * 256, 2048)
     if n_vecs is not None and n_vecs > train_cap:
