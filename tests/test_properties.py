@@ -219,3 +219,39 @@ def test_triangle_count_matches_brute_force(spark, edges):
     df = spark.createDataFrame(list(und), "src long, dst long")
     got = triangle_count(df).collect()[0]["n_triangles"]
     assert got == expected
+
+
+money_rows = st.lists(
+    st.tuples(
+        # 2-dp prices as the testdata carries them (cents / 100.0)
+        st.integers(min_value=1, max_value=10_000_000).map(lambda c: c / 100.0),
+        # discounts in exact hundredths 0.00-0.10 (TPC-H convention)
+        st.integers(min_value=0, max_value=10).map(lambda h: h / 100.0),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@SET
+@given(money_rows)
+def test_micro_unit_revenue_equals_decimal(spark, rows):
+    """q73's integer-micro-unit money arithmetic is EXACTLY the decimal
+    formulation: sum(round(p*100) * (100 - round(d*100))) / 1e4 ==
+    sum(decimal(p) * (1 - decimal(d))) for any 2-dp prices and
+    hundredth discounts — the whole-stage-codegen long path loses
+    nothing vs interpreted BigDecimal."""
+    from decimal import Decimal
+
+    df = spark.createDataFrame(rows, ["p", "d"])
+    micro = df.select(
+        F.sum(
+            F.round(F.col("p") * 100).cast("long")
+            * (F.lit(100) - F.round(F.col("d") * 100).cast("long"))
+        ).alias("s")
+    ).collect()[0]["s"]
+    expect = sum(
+        (Decimal(round(p * 100)) / 100) * (1 - Decimal(round(d * 100)) / 100)
+        for p, d in rows
+    )
+    assert Decimal(micro) / 10_000 == expect
