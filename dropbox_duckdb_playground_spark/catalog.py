@@ -2841,7 +2841,8 @@ def q74_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH vol AS (
       SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
-             CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(18,6))) AS volume,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS volume,
              sn.n_name AS supp_nation
       FROM lineitem l
       JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -2863,7 +2864,9 @@ def q75_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue inside the ASIA customer market, by order year. Customer->
     nation->region collapses to one broadcast semi-map; supplier->
     nation to another; numerator and denominator share one aggregate
-    (conditional sum), decimal until the final division."""
+    (conditional sum) in exact integer micro-units (q73's codegen-long
+    money move) until the final division — a ratio, so the unit
+    cancels and no re-scaling is needed."""
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     asia_cust = F.broadcast(
@@ -2881,8 +2884,8 @@ def q75_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
-    vol = F.col("l_extendedprice").cast("decimal(18,6)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
+    vol = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
     )
     nat3 = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0))
     return (
@@ -4215,19 +4218,23 @@ def q98_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q99_tpch_q9",
     oracle="""
-    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
-           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                            * (1 - CAST(l.l_discount AS DECIMAL(18,6)))
-                          - CAST(p.p_retailprice / 10 AS DECIMAL(18,6))
-                            * CAST(l.l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+    SELECT nation, o_year,
+           CAST(((abs(s) + 50) // 100)
+                * (CASE WHEN s < 0 THEN -1 ELSE 1 END) / 100.0 AS DOUBLE)
                AS profit
+    FROM (
+    SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+           sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l.l_discount * 100) AS BIGINT))
+               - CAST(round(p.p_retailprice * 100) AS BIGINT) * 10
+                 * CAST(round(l.l_quantity) AS BIGINT)) AS s
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
     JOIN nation n ON s.s_nationkey = n.n_nationkey
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE p.p_name LIKE '%widget%'
-    GROUP BY n.n_name, year(o.o_orderdate)
+    GROUP BY n.n_name, year(o.o_orderdate))
     """,
     tags="tpch J1 J2 multi-dim-join A1 olap",
 )
@@ -4236,9 +4243,14 @@ def q99_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     order year for widget parts; supply cost is modeled as 10% of
     retail price (the schema has no partsupp). Three dimension paths
     (part-filtered, supplier->nation) broadcast; the only shuffles are
-    lineitem-orders and the final small agg. The profit expression
-    stays in DECIMAL end-to-end — products are exact, so the subtraction
-    can't introduce engine-dependent float error."""
+    lineitem-orders and the final small agg. The profit expression is
+    exact integer MICRO-UNITS end-to-end (q73's codegen-long money
+    move): revenue = cents * (100 - disc_hundredths); the retail/10
+    supply cost is retail_cents * 10 * qty in the same 1e-4 unit (the
+    /10 folds into the scale, so no division happens at all). Profit
+    can be NEGATIVE, so the final HALF_UP cent rounding runs in
+    integer math — (|s|+50) div 100, sign reapplied — identically on
+    both engines; only the last /100.0 touches floats."""
     p = F.broadcast(
         load(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%widget%"))
@@ -4255,21 +4267,26 @@ def q99_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_suppkey",
         "l_quantity", "l_extendedprice", "l_discount",
     )
-    # supply cost = retail/10: ONE double division (bit-identical on both
-    # engines) cast to the same scale as the revenue term, so the decimal
-    # subtraction needs no rescale (mixed scales overflow DuckDB's
-    # inferred DECIMAL(18,13))
-    profit = F.col("l_extendedprice").cast("decimal(18,6)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(18,6)")
-    ) - (F.col("p_retailprice") / 10).cast("decimal(18,6)") * F.col(
-        "l_quantity"
-    ).cast("decimal(18,6)")
+    profit = F.round(F.col("l_extendedprice") * 100).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    ) - F.round(F.col("p_retailprice") * 100).cast("long") * 10 * F.round(
+        F.col("l_quantity")
+    ).cast("long")
+    s_col = F.sum(profit)
+    rounded_cents = F.expr(
+        "((abs(s) + 50) div 100) * (CASE WHEN s < 0 THEN -1 ELSE 1 END)"
+    )
     return (
         l.join(p, l["l_partkey"] == p["p_partkey"])
         .join(s, l["l_suppkey"] == s["s_suppkey"])
         .join(o, l["l_orderkey"] == o["o_orderkey"])
         .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(F.round(F.sum(profit), 2).cast("double").alias("profit"))
+        .agg(s_col.alias("s"))
+        .select(
+            "nation",
+            "o_year",
+            (rounded_cents / 100.0).cast("double").alias("profit"),
+        )
     )
 
 
