@@ -1769,7 +1769,9 @@ def q50_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q51_tpch_q3",
     oracle="""
     SELECT l.l_orderkey,
-           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+           CAST(((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                  + 50) // 100) / 100.0 AS DOUBLE) AS revenue,
            CAST(o.o_orderdate AS VARCHAR) AS orderdate_s,
            o.o_orderpriority
     FROM customer c
@@ -1786,7 +1788,9 @@ def q51_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping priority): segment-filtered customers ×
     pre-cutoff orders × post-cutoff lineitems. Both filters sit on the
     scans (pushdown), the customer side is semi-join-shaped so only
-    (c_custkey) reaches the orders shuffle."""
+    (c_custkey) reaches the orders shuffle. Revenue in exact integer
+    micro-units with integer HALF_UP cent rounding (q73's money move —
+    codegen longs, bit-identical on both engines by construction)."""
     c = load(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     ).select("c_custkey")
@@ -1801,17 +1805,16 @@ def q51_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o["o_custkey"] == c["c_custkey"], "left_semi")
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,6)")
-                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
-                ),
-                2,
-            ).cast("double").alias("revenue")
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("__s")
         )
         .select(
             "l_orderkey",
-            "revenue",
+            F.expr("CAST(((__s + 50) div 100) / 100.0 AS DOUBLE)").alias(
+                "revenue"
+            ),
             F.col("o_orderdate").cast("string").alias("orderdate_s"),
             "o_orderpriority",
         )
@@ -1822,7 +1825,9 @@ def q51_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q52_tpch_q5",
     oracle="""
     SELECT n.n_name,
-           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
+           CAST(((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                  + 50) // 100) / 100.0 AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1872,13 +1877,11 @@ def q52_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,6)")
-                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
-                ),
-                2,
-            ).cast("double").alias("revenue")
+            F.expr(
+                "CAST(((sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+                " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+                " + 50) div 100) / 100.0 AS DOUBLE)"
+            ).alias("revenue")
         )
     )
 
@@ -1887,7 +1890,9 @@ def q52_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q53_tpch_q10",
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue,
+           CAST(((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                  + 50) // 100) / 100.0 AS DOUBLE) AS revenue,
            round(c.c_acctbal, 2) AS acctbal, n.n_name
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -1921,13 +1926,11 @@ def q53_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, c["c_nationkey"] == n["n_nationkey"])
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,6)")
-                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
-                ),
-                2,
-            ).cast("double").alias("revenue")
+            F.expr(
+                "CAST(((sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+                " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+                " + 50) div 100) / 100.0 AS DOUBLE)"
+            ).alias("revenue")
         )
         .select(
             "c_custkey",
@@ -2689,7 +2692,9 @@ def q71_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
            CAST(year(l.l_shipdate) AS INT) AS l_year,
-           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l.l_discount AS DECIMAL(18,6)))), 2) AS DOUBLE) AS revenue
+           CAST(((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                  + 50) // 100) / 100.0 AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -2738,13 +2743,11 @@ def q72_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,6)")
-                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
-                ),
-                2,
-            ).cast("double").alias("revenue")
+            F.expr(
+                "CAST(((sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+                " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+                " + 50) div 100) / 100.0 AS DOUBLE)"
+            ).alias("revenue")
         )
     )
 
@@ -3442,9 +3445,9 @@ def q86_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q87_tpch_q19",
     oracle="""
     SELECT p.p_brand,
-           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))
-                          * (1 - CAST(l.l_discount AS DECIMAL(18,6)))), 2)
-                AS DOUBLE) AS revenue,
+           CAST(((sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                  + 50) // 100) / 100.0 AS DOUBLE) AS revenue,
            CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -3494,13 +3497,11 @@ def q87_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(band)
         .groupBy("p_brand")
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,6)")
-                    * (F.lit(1) - F.col("l_discount").cast("decimal(18,6)"))
-                ),
-                2,
-            ).cast("double").alias("revenue"),
+            F.expr(
+                "CAST(((sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+                " * (100 - CAST(round(l_discount * 100) AS BIGINT)))"
+                " + 50) div 100) / 100.0 AS DOUBLE)"
+            ).alias("revenue"),
             F.count("*").cast("long").alias("n_lines"),
         )
     )
@@ -4176,9 +4177,9 @@ def q97_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q98_tpch_q6",
     oracle="""
-    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))
-                          * CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
-               AS revenue
+    SELECT CAST(((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * CAST(round(l_discount * 100) AS BIGINT))
+                  + 50) // 100) / 100.0 AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -4202,15 +4203,11 @@ def q98_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice").cast("decimal(18,6)")
-                    * F.col("l_discount").cast("decimal(18,6)")
-                ),
-                2,
-            )
-            .cast("double")
-            .alias("revenue")
+            F.expr(
+                "CAST(((sum(CAST(round(l_extendedprice * 100) AS BIGINT)"
+                " * CAST(round(l_discount * 100) AS BIGINT))"
+                " + 50) div 100) / 100.0 AS DOUBLE)"
+            ).alias("revenue")
         )
     )
 
