@@ -161,3 +161,34 @@ def test_flagship_pipeline(spark, engine, tmp_path):
     assert ":ID(author)" in back.columns and "name:STRING" in back.columns
     lback = spark.read.option("header", True).csv(ldir)
     assert ":START_ID" in lback.columns and ":END_ID" in lback.columns
+
+
+def test_example_script_end_to_end(spark, tmp_path):
+    """examples/pypi_graph_pipeline.py runs the whole reference journey
+    (crawl -> tabularize -> validate -> ER -> group -> export) and its
+    outputs are well-formed: author near-duplicates merged, RedisGraph
+    CSVs typed, Parquet stages written."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "pypi_graph_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "pypi_graph_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "graph_out")
+    mod.main(out)
+
+    import glob
+
+    author_csv = glob.glob(f"{out}/csv/author/part*.csv")[0]
+    lines = open(author_csv).read().strip().splitlines()
+    assert lines[0] == '":ID(author)","name:STRING"'
+    assert len(lines) == 3  # header + 2 resolved author entities
+    req_csv = glob.glob(f"{out}/csv/requires/part*.csv")[0]
+    assert len(open(req_csv).read().strip().splitlines()) == 5  # header + 4
+    assert os.path.isdir(f"{out}/package.parquet") or glob.glob(
+        f"{out}/**/package*", recursive=True
+    )
