@@ -192,3 +192,20 @@ def test_example_script_end_to_end(spark, tmp_path):
     assert os.path.isdir(f"{out}/package.parquet") or glob.glob(
         f"{out}/**/package*", recursive=True
     )
+
+
+def test_training_data_example_end_to_end(spark):
+    """examples/training_data_pipeline.py: the curation funnel drops the
+    exact dup, the near dup, the contaminated doc, and the low-quality
+    doc from the built-in corpus, in that stage order."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "training_data_pipeline",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "training_data_pipeline.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(None)  # prints the funnel; any stage error fails the test
