@@ -417,3 +417,21 @@ def test_incremental_agg_equals_full_recompute(spark):
 
     with pytest.raises(ValueError):
         incremental_agg_state(batches[0], ["k"], "v", ["median"])
+
+
+def test_streaming_example_end_to_end(spark):
+    """examples/streaming_incremental.py: availableNow streams,
+    cross-batch stateful dedup, and incremental agg states run clean;
+    the replay-safe composition drops the duplicate and the replay."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "streaming_incremental",
+        os.path.join(os.path.dirname(__file__), "..", "examples",
+                     "streaming_incremental.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+    assert spark.table("firsts").count() == 5  # 7 landed - dup - replay
