@@ -255,3 +255,45 @@ def test_micro_unit_revenue_equals_decimal(spark, rows):
         for p, d in rows
     )
     assert Decimal(micro) / 10_000 == expect
+
+
+docs_strategy = st.lists(
+    st.text(alphabet="ab ", min_size=12, max_size=40),
+    min_size=2,
+    max_size=12,
+)
+
+
+@SET
+@given(docs_strategy)
+def test_lsh_bucket_cap_is_a_pure_subset(spark, texts):
+    """Dropping over-cap LSH buckets can only REMOVE candidate pairs —
+    never invent or alter one — and the uncapped run equals cap=inf.
+    (The max_shingle_freq jaccard cap intentionally RESCORES, so the
+    subset law is the LSH cap's distinguishing guarantee.)"""
+    from dropbox_duckdb_playground_spark.operators import dedup as D
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = D.shingles(df, n=2)
+    sig = D.minhash_signatures(sh, num_perm=8)
+    if not sig.take(1):
+        return  # all-blank corpus: no signatures, nothing to assert
+    full = {
+        (r.a_id, r.b_id)
+        for r in D.lsh_candidate_pairs(sig, num_perm=8, bands=4).collect()
+    }
+    capped = {
+        (r.a_id, r.b_id)
+        for r in D.lsh_candidate_pairs(
+            sig, num_perm=8, bands=4, max_bucket_size=2
+        ).collect()
+    }
+    assert capped <= full
+    huge_cap = {
+        (r.a_id, r.b_id)
+        for r in D.lsh_candidate_pairs(
+            sig, num_perm=8, bands=4, max_bucket_size=10_000
+        ).collect()
+    }
+    assert huge_cap == full
