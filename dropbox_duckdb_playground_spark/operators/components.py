@@ -280,7 +280,7 @@ def pagerank(
     iterations: int = 3,
     scale: int = 1_000_000_000_000,
     damping_pct: int = 85,
-    checkpoint_every: int = 2,
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list, all-integer arithmetic.
 
@@ -296,26 +296,27 @@ def pagerank(
     ``%%`` an integer ``div 100``.
 
     Scale: the edge list and out-degree table are computed once and
-    pinned via ``materialize``; each iteration is ONE shuffle join of
-    the rank vector (node-sized, not edge-sized) against the
-    pre-partitioned edges plus a 1-row broadcast for the dangling
-    scalar. Iterations are a driver loop over a bounded constant —
-    lineage is cut every ``checkpoint_every`` rounds. The rank vector
-    has THREE consumers per round (contrib, the dangling scalar, the
-    final join), so an uncut plan recomputes prior rounds per consumer,
-    compounding per iteration; but each cut is also an eager sync job,
-    so cutting EVERY round overpays at small iteration counts. The
-    default 2 measured fastest at 3 iterations (2.7s vs 3.3s at
-    every-round on sf0.1 local[32]) and bounds uncut lineage to one
-    round at any iteration count. NOTE: the final iteration is
-    deliberately left uncut (the common single-action caller — write,
-    hash, count — pays zero extra sync jobs); a caller that fires
-    MULTIPLE actions on the result recomputes that one uncut round per
-    action — ``materialize`` the returned frame yourself in that case.
-    Reference
-    analog: the graph-resolution iteration loop
-    (examples/graph/resolution/mapper/messy.py) run driver-side; here
-    every step stays distributed.
+    pinned via ``materialize``; everything after that is ONE fully-lazy
+    unrolled plan. The rank vector has three consumers per round
+    (contribution join, dangling aggregate, final join), but every
+    consumer reaches ``r`` through the SAME aggregate exchange, and
+    Spark's exchange canonicalization collapses the duplicated subtrees
+    into ReusedExchange at runtime — so the unrolled plan executes each
+    round's shuffle exactly once with NO checkpoint, no cache, and no
+    per-round sync job. Measured at sf0.1 local[32]: the lazy unrolled
+    plan runs ~0.9-1.2s vs 3.2s for the checkpoint-every-2 variant and
+    4-5s for eager per-round materialize/persist variants — job-launch
+    overhead, not recomputation, was the cost. The dangling mass enters
+    as a 1-row broadcast built from the same reused exchange.
+    ``checkpoint_every`` (default None) exists for LARGE iteration
+    counts, where an unrolled plan's analysis/planning time grows with
+    depth: set a cadence (e.g. 10) and the rank vector is materialized
+    every k rounds, bounding plan depth at k rounds. NOTE: a caller
+    that fires multiple actions on the lazy result re-executes the
+    unrolled plan per action — ``materialize`` the returned frame
+    yourself in that case. Reference analog: the graph-resolution
+    iteration loop (examples/graph/resolution/mapper/messy.py) run
+    driver-side; here every step stays distributed.
     """
     from dropbox_duckdb_playground_spark.materialize import materialize
 
@@ -364,7 +365,11 @@ def pagerank(
                 .alias("r"),
             )
         )
-        if (it + 1) % checkpoint_every == 0 and (it + 1) < iterations:
+        if (
+            checkpoint_every is not None
+            and (it + 1) % checkpoint_every == 0
+            and (it + 1) < iterations
+        ):
             r = materialize(r)
     return r.select("node", F.col("r").alias("rank"))
 
