@@ -4038,17 +4038,20 @@ def q94_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
       WHERE shingle IS NOT NULL),
     bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    bhh AS (SELECT shingle, {DUCK_ID.format(x="'bf:' || shingle")} AS h
+            FROM bench),
     bits AS (
       SELECT DISTINCT
-             {DUCK_ID.format(x="'bf' || CAST(g.i AS VARCHAR) || ':' || b.shingle")} % 65536
-                 AS bit
-      FROM bench b CROSS JOIN (SELECT unnest(range(4)) AS i) g),
+             ((h & 65535) + g.i * (((h >> 16) & 65535) | 1)) & 65535 AS bit
+      FROM bhh CROSS JOIN (SELECT unnest(range(4)) AS i) g),
     train AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+    thh AS (SELECT doc_id, shingle,
+                   {DUCK_ID.format(x="'bf:' || shingle")} AS h
+            FROM train),
     th AS (
-      SELECT t.doc_id, t.shingle,
-             {DUCK_ID.format(x="'bf' || CAST(g.i AS VARCHAR) || ':' || t.shingle")} % 65536
-                 AS bit
-      FROM train t CROSS JOIN (SELECT unnest(range(4)) AS i) g),
+      SELECT doc_id, shingle,
+             ((h & 65535) + g.i * (((h >> 16) & 65535) | 1)) & 65535 AS bit
+      FROM thh CROSS JOIN (SELECT unnest(range(4)) AS i) g),
     marked AS (
       SELECT th.doc_id, th.shingle, count(bits.bit) AS nset
       FROM th LEFT JOIN bits ON th.bit = bits.bit
@@ -4069,20 +4072,37 @@ def q94_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q95_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter pre-screen for benchmark decontamination (the scale
-    path for q48): the bench shingle set compresses to <=65536 bit
-    positions — broadcastable at ANY bench size — and the train side
-    probes it with one equi-join; the exact join then runs only to
-    measure the false-positive rate per doc. Deterministic md5 bit
-    positions make the filter itself hash-checkable across engines."""
+    path for q48): the bench shingle set compresses to a fixed m=65536
+    bit positions, COLLECTED into an 8 KiB literal bitmap (the same
+    build-on-driver handshake Spark's own runtime bloom pushdown uses)
+    — so the train-side probe is a shuffle-free per-row bit test inside
+    whole-stage codegen, not an explode+join+re-aggregate. The exact
+    membership join (needed only to measure the false-positive rate)
+    broadcasts the distinct bench shingles. Deterministic md5 bit
+    positions (Kirsch-Mitzenmacher double hashing — ONE md5 per
+    shingle, k derived positions) make the filter itself
+    hash-checkable across engines. Three jobs total: the small distinct
+    bench-shingle table is materialized once for its two consumers
+    (bitmap build, exact join), the bitmap build collects its <=65536
+    distinct bits, then the probe job makes one narrow pass over the
+    train slice with the in-row bit tests, a broadcast exact join
+    (false-positive accounting), and the per-doc aggregate — the only
+    exchange in the whole probe plan. Caching the exploded TRAIN
+    shingle table was measured SLOWER than recomputing the narrow
+    pipeline (same result as q120's digest-reuse note: a 2M-string-row
+    cache re-scan loses to compute)."""
+    from dropbox_duckdb_playground_spark.materialize import materialize
     from dropbox_duckdb_playground_spark.operators import sketches as SK
 
     d = load(spark, sf_dir, "documents")
     sh = D.shingles(d, n=3)
-    bench = sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
-    bits = SK.bloom_bits(bench, "shingle")
+    bench = materialize(
+        sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+    )
+    words = SK.bloom_bitmap(SK.bloom_bits(bench, "shingle"))
     train = sh.filter(F.col("doc_id") % 50 != 0)
-    flags = SK.bloom_contains(train, bits, "shingle")
-    exact = bench.withColumn("__hit__", F.lit(1))
+    flags = SK.bloom_contains_bits(train, words, "shingle")
+    exact = F.broadcast(bench.withColumn("__hit__", F.lit(1)))
     return (
         flags.join(exact, "shingle", "left")
         .groupBy("doc_id")

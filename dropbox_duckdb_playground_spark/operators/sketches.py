@@ -178,15 +178,31 @@ def countmin_estimates(
 # Bloom filter membership, deterministic.
 
 BLOOM_K = 4
-BLOOM_M = 65536
+BLOOM_M = 65536  # 2^16 — power of two so position math is masks/shifts
+
+
+def _bloom_positions(h: Column) -> list[Column]:
+    """The k bit positions for one 60-bit digest, via Kirsch-
+    Mitzenmacher double hashing: pos_i = (h1 + i*h2) mod m with
+    h1 = h & (m-1) and h2 = ((h >> 16) & (m-1)) | 1 (odd, so the
+    stride is a bijection mod 2^16). ONE md5 per value instead of k
+    salted md5s — at corpus scale the hash is the dominant CPU of the
+    probe side, so this is a k-fold cut in hashing work on both the
+    build and probe paths (and the formulation Bloom-filter literature
+    recommends: k independent hash families gain nothing over
+    double hashing for filter quality)."""
+    mask = BLOOM_M - 1
+    h1 = h.bitwiseAND(F.lit(mask))
+    h2 = F.shiftright(h, 16).bitwiseAND(F.lit(mask)).bitwiseOR(F.lit(1))
+    return [
+        (h1 + F.lit(i) * h2).bitwiseAND(F.lit(mask)) for i in range(BLOOM_K)
+    ]
 
 
 def bloom_bits(items: DataFrame, col: str) -> DataFrame:
     """(bit,): the distinct set bit positions for the member set —
     <= m rows regardless of input size, broadcastable by construction."""
-    hashes = F.array(
-        *[(_phash(F.col(col), f"bf{i}:") % BLOOM_M) for i in range(BLOOM_K)]
-    )
+    hashes = F.array(*_bloom_positions(_phash(F.col(col), "bf:")))
     return (
         items.select(F.explode(hashes).alias("bit")).distinct()
     )
@@ -195,10 +211,11 @@ def bloom_bits(items: DataFrame, col: str) -> DataFrame:
 def bloom_contains(probe: DataFrame, bits: DataFrame, col: str) -> DataFrame:
     """probe + boolean ``in_bloom``: true iff all k bit positions are
     set. One explode to k rows, one broadcast equi-join on bit, one
-    groupBy back to probe grain counting matches == k."""
-    hashes = F.array(
-        *[(_phash(F.col(col), f"bf{i}:") % BLOOM_M) for i in range(BLOOM_K)]
-    )
+    groupBy back to probe grain counting matches == k. Prefer
+    :func:`bloom_contains_bits` when the filter can be collected —
+    this join form exists for filters too large to ship as a literal
+    (m >> 2^16) and for incremental/streaming builds."""
+    hashes = F.array(*_bloom_positions(_phash(F.col(col), "bf:")))
     keys = [c for c in probe.columns]
     ph = probe.select(*keys, F.explode(hashes).alias("bit"))
     marked = ph.join(
@@ -209,6 +226,56 @@ def bloom_contains(probe: DataFrame, bits: DataFrame, col: str) -> DataFrame:
     return (
         marked.groupBy(*keys)
         .agg((F.sum(F.coalesce(F.col("__set__"), F.lit(0))) == BLOOM_K).alias("in_bloom"))
+    )
+
+
+def bloom_bitmap(bits: DataFrame) -> list[int]:
+    """Collect a ``bloom_bits`` table into a packed little-endian word
+    list (m/64 longs). BOUNDED driver-side by construction: the bit
+    table is <= m rows no matter how large the member set is — this is
+    the filter-build handshake every distributed Bloom join does (e.g.
+    Spark's own runtime bloom-filter pushdown builds the filter on the
+    driver before broadcasting it into the probe-side scan)."""
+    words = [0] * (BLOOM_M // 64)
+    for (b,) in bits.select("bit").collect():
+        words[b // 64] |= 1 << (b % 64)
+    return words
+
+
+def bloom_contains_bits(
+    probe: DataFrame, words: list[int], col: str
+) -> DataFrame:
+    """``probe`` + boolean ``in_bloom`` via an in-plan literal bitmap —
+    the shuffle-free form of :func:`bloom_contains`. The k bit tests
+    run per row inside whole-stage codegen against an 8 KiB literal
+    long array: no explode (k x row inflation), no join, no
+    group-back-to-grain aggregate. Same bit semantics as the join form
+    (md5 positions mod m), so results are engine-checkable unchanged.
+    Scale: the bitmap is a plan literal shipped with the task binary —
+    the probe side is ONE narrow map over the corpus."""
+    # bit 63 set -> the unsigned word exceeds the signed-long literal
+    # range; re-encode two's-complement (shiftrightUNSIGNED reads the
+    # raw bits, so the probe is sign-agnostic)
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    # ONE F.expr for the 1024-literal array: building it element-wise
+    # (F.array of F.lit per word) costs ~2000 py4j round trips ≈ 1.5s
+    # of pure driver-side plan-construction latency per query (the
+    # same effect documented at dedup.simhash) — a single SQL string
+    # parses JVM-side in milliseconds.
+    arr_sql = "array(" + ",".join(f"{w}L" for w in signed) + ")"
+    out = probe.withColumn("__bfarr__", F.expr(arr_sql)).withColumn(
+        "__bfh__", _phash(F.col(col), "bf:")
+    )
+    for i, p in enumerate(_bloom_positions(F.col("__bfh__"))):
+        out = out.withColumn(f"__bfp{i}__", p)
+    cond = " AND ".join(
+        f"((shiftrightunsigned(element_at(__bfarr__, "
+        f"CAST(__bfp{i}__ div 64 AS INT) + 1), "
+        f"CAST(__bfp{i}__ % 64 AS INT)) & 1) = 1)"
+        for i in range(BLOOM_K)
+    )
+    return out.withColumn("in_bloom", F.expr(cond)).drop(
+        "__bfarr__", "__bfh__", *[f"__bfp{i}__" for i in range(BLOOM_K)]
     )
 
 
