@@ -788,19 +788,21 @@ def q25_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags="dedup-jaccard",
 )
 def q26_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNBOUNDED exact Jaccard pair mining — the measurement baseline,
-    NOT the production path. With no frequency cap, candidate pairs
-    grow with the square of shingle sharing; on a corpus whose shingle
-    space saturates (boilerplate, tiny vocabulary) that is inherently
-    superlinear — SCALING.md measures slope ~36x at sf1 on this
-    synthetic corpus, and DuckDB's identical algorithm scales worse
-    (~86x) on the same data, confirming it is data-inherent, not a plan
-    defect. Production dedup routes through the capped, oracle-checked
-    variants: q64 (``max_shingle_freq`` stop-shingle removal) and q65
-    (``max_bucket_size`` LSH bucket cap), both linear at sf1."""
+    """UNBOUNDED exact Jaccard pair mining (``exact=True``) — the
+    measurement baseline, NOT the production path. With no frequency
+    cap, candidate pairs grow with the square of shingle sharing; on a
+    corpus whose shingle space saturates (boilerplate, tiny
+    vocabulary) that is inherently superlinear — SCALING.md measures
+    slope ~36x at sf1 on this synthetic corpus, and DuckDB's identical
+    algorithm scales worse (~86x) on the same data, confirming it is
+    data-inherent, not a plan defect. Every production consumer
+    (q34/q43/q47/q120) runs the DEFAULT capped pairing
+    (``DEFAULT_MAX_SHINGLE_FREQ`` stop-shingle removal, mirrored in
+    their oracles); q64 (tighter cap) and q65 (``max_bucket_size`` LSH
+    bucket cap) check the guards themselves, all linear at sf1."""
     d = load(spark, sf_dir, "documents")
     sh = D.shingles(d, n=3, with_size=True)
-    return D.ngram_jaccard_pairs(sh, threshold=0.2)
+    return D.ngram_jaccard_pairs(sh, threshold=0.2, exact=True)
 
 
 @register(
@@ -1005,20 +1007,28 @@ def q33_canon_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Shared oracle CTE chain: document near-dup clustering (3-gram shingle
-# jaccard >= 0.2 -> recursive-CTE transitive closure -> min-label per
-# doc, singletons included). Used by q34 and the q43 flagship.
+# jaccard >= 0.2 over frequency-capped shingle sets -> recursive-CTE
+# transitive closure -> min-label per doc, singletons included). The
+# df <= 8 cap mirrors dedup.DEFAULT_MAX_SHINGLE_FREQ — the production
+# pairing path is capped BY DEFAULT on both engines (uncapped exact
+# mining is the q26 measurement baseline only). Used by q34, q47, the
+# q43 flagship, and the q120 manifest.
 DOC_CLUSTER_CTES = f"""toks AS (SELECT doc_id, trim(text) AS t FROM documents),
     pos AS (
       SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS tok,
              generate_subscripts(string_split_regex(t, '\\s+'), 1) AS pos
       FROM toks),
-    sh AS (
+    shall AS (
       SELECT DISTINCT doc_id, {DUCK_ID.format(x="shingle")} AS sh FROM (
         SELECT doc_id,
                tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
                    AS shingle
         FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
       WHERE shingle IS NOT NULL),
+    sh AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM shall)
+      WHERE df <= 8),
     sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
     jpairs AS (
       SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS common
@@ -1050,6 +1060,10 @@ DOC_CLUSTER_CTES = f"""toks AS (SELECT doc_id, trim(text) AS t FROM documents),
     tags="E4 E5 E6 E7 dedup-pipeline",
 )
 def q34_er_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup document clustering over the DEFAULT (frequency-capped)
+    Jaccard pairing — linear at scale; the oracle applies the identical
+    df <= 8 cap (DOC_CLUSTER_CTES), so the clustering decision is
+    hash-checked end to end."""
     d = load(spark, sf_dir, "documents")
     sh = D.shingles(d, n=3, with_size=True)
     pairs = D.ngram_jaccard_pairs(sh, threshold=0.2)
@@ -1398,12 +1412,11 @@ def q43_flagship_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     one plan, over the driver's events (crawl output analog) and
     documents (link-target corpus) tables.
 
-    Scale note: the ER stage uses the UNBOUNDED exact pair-miner so the
-    oracle can replay the clustering decision; on a corpus whose
-    shingle space saturates it inherits q26's data-inherent quadratic
-    (SCALING.md q43 stage profile: pairing >90% of sf1 wall, CC and the
-    event side linear). Production flagship runs swap in the capped
-    q64/q65 pairing variants."""
+    Scale note: the ER stage runs the DEFAULT frequency-capped pairing
+    (df <= DEFAULT_MAX_SHINGLE_FREQ stop-shingle removal, mirrored in
+    the oracle's DOC_CLUSTER_CTES) — per-shingle pair work is bounded
+    at cap^2/2, so the whole flagship is linear in corpus size; the
+    uncapped quadratic baseline lives only in q26."""
     from dropbox_duckdb_playground_spark.er.clustering import convert_ids
     from dropbox_duckdb_playground_spark.sources.redisgraph import (
         redisgraph_link_header,
@@ -1629,7 +1642,8 @@ def q46_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags="dedup-pipeline E7 corpus-curation",
 )
 def q47_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus AFTER fuzzy dedup: jaccard near-dup edges → connected
+    """The corpus AFTER fuzzy dedup: jaccard near-dup edges (DEFAULT
+    frequency-capped pairing, cap mirrored in the oracle) → connected
     components → one survivor per cluster (min doc_id) with the count
     of documents it absorbed. q34 labels every doc; this is the
     downstream 'remove' step a training pipeline actually ships."""
@@ -5622,19 +5636,13 @@ def q119_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      AND char_sum * 1.0 / n_tok <= 10
                                 THEN 1.0 ELSE 0.0 END) * 0.25, 4) AS quality
            FROM qf),
-    bsh AS (
-      SELECT DISTINCT doc_id, g FROM (
-        SELECT doc_id,
-               tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
-        FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
-      WHERE g IS NOT NULL),
-    bfreq AS (SELECT g, count(*) AS n_docs FROM bsh GROUP BY g),
+    bdf AS (
+      SELECT doc_id, count(*) OVER (PARTITION BY sh) AS df FROM shall),
     qboiler AS (
-      SELECT s.doc_id,
-             round(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0
+      SELECT doc_id,
+             round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0
                    / count(*), 4) AS boiler_ratio
-      FROM bsh s JOIN bfreq f ON s.g = f.g
-      GROUP BY s.doc_id),
+      FROM bdf GROUP BY doc_id),
     keepers AS (
       SELECT qq.doc_id, qq.n_tokens, qq.quality,
              coalesce(b.boiler_ratio, 0) AS boiler_ratio
@@ -5673,7 +5681,8 @@ def q120_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The 3-gram shingle table is projected ONCE to its 60-bit digest
     form ``(doc_id, sh, sz)`` and every consumer — the Jaccard
-    inverted-index self-join (both sides), the corpus
+    inverted-index self-join (both sides, through the DEFAULT
+    frequency-cap window whose sh-exchange they share), the corpus
     shingle-frequency table, and the per-doc boilerplate ratio —
     derives from that ONE subplan. The join sides and the boiler-join
     left side are the identical projection exchanged on ``sh``, so
@@ -5684,21 +5693,26 @@ def q120_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Boilerplate frequency over digests instead of raw strings is the
     same collision trade the Jaccard join itself already makes."""
     d = load(spark, sf_dir, "documents")
-    sh = D.shingles(d, n=3, with_size=True)
-    hashed = sh.select(
-        "doc_id", D._hex60(F.col("shingle")).alias("sh"), "sz"
+    sh = D.shingles(d, n=3)
+    hashed = sh.select("doc_id", D._hex60(F.col("shingle")).alias("sh"))
+    # ONE doc-frequency window feeds BOTH the pairing cap (via
+    # doc_freq_col) and the boilerplate ratio — the former freq-table
+    # aggregate + join branch is gone, and every consumer shares the
+    # window's sh-exchange through ReusedExchange.
+    wdf = hashed.withColumn(
+        "df", F.count("*").over(Window.partitionBy("sh"))
     )
-    pairs = D.ngram_jaccard_pairs(hashed, threshold=0.2, pre_hashed=True)
+    pairs = D.ngram_jaccard_pairs(
+        wdf, threshold=0.2, pre_hashed=True, doc_freq_col="df"
+    )
     surv = D.neardup_survivors(d, pairs).select("doc_id")
 
     q = TX.quality_score(d)
-    freq = hashed.groupBy("sh").agg(F.count("*").alias("n_docs"))
     boiler = (
-        hashed.select("doc_id", "sh").join(freq, "sh")
-        .groupBy("doc_id")
+        wdf.groupBy("doc_id")
         .agg(
             F.round(
-                F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
                 / F.count("*"),
                 4,
             ).alias("boiler_ratio")

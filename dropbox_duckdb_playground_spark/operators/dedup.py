@@ -235,12 +235,20 @@ def minhash_estimate_pairs(
     )
 
 
+# Default document-frequency cap for exact-Jaccard pair mining: a
+# shingle held by more than this many documents is dropped before the
+# inverted-index self-join. See ngram_jaccard_pairs docstring.
+DEFAULT_MAX_SHINGLE_FREQ = 8
+
+
 def ngram_jaccard_pairs(
     shingle_df: DataFrame,
     key: str = "doc_id",
     threshold: float = 0.2,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = DEFAULT_MAX_SHINGLE_FREQ,
     pre_hashed: bool = False,
+    exact: bool = False,
+    doc_freq_col: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via inverted-index join.
 
@@ -264,19 +272,25 @@ def ngram_jaccard_pairs(
     over the surviving shingles, i.e. Jaccard over the capped sets.
     A shingle shared by k docs contributes k^2/2 candidate pairs while
     carrying ~zero similarity signal once k is large; the cap bounds
-    per-shingle work at cap^2/2 regardless of corpus size. Default
-    ``None`` preserves exact semantics for oracle parity — it is the
-    MEASUREMENT BASELINE, inherently superlinear on a saturating
-    shingle space (any engine; see SCALING.md q26). Production runs
-    set ``max_shingle_freq`` (or use the LSH path with
-    ``max_bucket_size``); both capped variants are themselves
-    oracle-checked (catalog q64/q65).
+    per-shingle work at cap^2/2 regardless of corpus size. The cap is
+    ON BY DEFAULT (``DEFAULT_MAX_SHINGLE_FREQ``): uncapped exact
+    mining is inherently superlinear on a saturating shingle space
+    (any engine — SCALING.md measured DuckDB steeper than Spark on the
+    same data), so it must be requested explicitly via ``exact=True``,
+    which exists as the MEASUREMENT BASELINE (catalog q26). Both modes
+    are oracle-checked (capped: q34/q43/q47/q64/q120; exact: q26).
 
     ``pre_hashed=True`` accepts a caller-built digest table (columns
     ``key, sh[, sz]``) instead of raw shingles — for composed pipelines
     (q120) where sibling branches consume the SAME digest projection and
     Spark's ReusedExchange then runs the shingle+digest pass once for
-    all of them."""
+    all of them. ``doc_freq_col`` names a caller-computed per-shingle
+    document-frequency column on that table: the internal cap window is
+    then skipped entirely, so a pipeline that needs document
+    frequencies anyway (boilerplate ratios, IDF) pays for ONE window
+    and shares it with the pairing cap."""
+    if exact:
+        max_shingle_freq = None
     has_size = "sz" in shingle_df.columns and max_shingle_freq is None
     if pre_hashed:
         hashed = shingle_df.select(
@@ -288,21 +302,31 @@ def ngram_jaccard_pairs(
             cols.append(F.col("sz"))
         hashed = shingle_df.select(*cols)
     if max_shingle_freq is not None:
-        fw = Window.partitionBy("sh")
-        hashed = (
-            hashed.withColumn("__df__", F.count("*").over(fw))
-            .filter(F.col("__df__") <= max_shingle_freq)
-            .drop("__df__")
-        )
-        hashed = hashed.withColumn(
-            "sz", F.count("*").over(Window.partitionBy(key))
-        )
-        has_size = True
-        # no materialize: the self-join's two sides are this identical
-        # subplan, so the final sh-exchange canonicalizes equal and the
-        # filtered/window pipeline executes once (ReusedExchange), same
-        # as the uncapped path — an eager checkpoint only added a sync
-        # job (and on a cluster, a DFS write) for no reuse gain
+        if doc_freq_col is not None:
+            hashed = (
+                shingle_df.filter(F.col(doc_freq_col) <= max_shingle_freq)
+                .select(F.col(key), F.col("sh"))
+            )
+        else:
+            fw = Window.partitionBy("sh")
+            hashed = (
+                hashed.select(F.col(key), F.col("sh"))
+                .withColumn("__df__", F.count("*").over(fw))
+                .filter(F.col("__df__") <= max_shingle_freq)
+                .drop("__df__")
+            )
+        # capped sizes via a post-aggregation join, NOT a second window:
+        # a count() window over ``key`` would re-shuffle the whole
+        # shingle table AND break the sh-partitioning the self-join
+        # inherits for free from the cap window (window output keeps
+        # its child's hash(sh) partitioning, so the join adds NO new
+        # exchange). The sizes table is doc-count-sized and joins onto
+        # the (a_id, b_id) pair aggregate, which under the cap is far
+        # smaller than the shingle table. All three consumers (join
+        # sides, sizes) reach the cap window through one canonicalized
+        # sh-exchange (ReusedExchange) — no materialize barrier.
+        sizes = hashed.groupBy(key).agg(F.count("*").alias("sz"))
+        has_size = False
     elif not has_size:
         hashed = materialize(hashed)
         sizes = hashed.groupBy(key).agg(F.count("*").alias("sz"))

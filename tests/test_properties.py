@@ -158,7 +158,7 @@ def test_jaccard_pairs_match_bruteforce(spark, docs):
     rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = D.ngram_jaccard_pairs(
-        D.shingles(df, n=3, with_size=True), threshold=0.0
+        D.shingles(df, n=3, with_size=True), threshold=0.0, exact=True
     ).collect()
     got = {(r.a_id, r.b_id): r.jaccard for r in out}
 
@@ -169,6 +169,40 @@ def test_jaccard_pairs_match_bruteforce(spark, docs):
     for i in range(len(docs)):
         for j in range(i + 1, len(docs)):
             a, b = sh(docs[i]), sh(docs[j])
+            if a & b:
+                expect[(i, j)] = round(len(a & b) / len(a | b), 4)
+    assert got == expect
+
+
+@SET
+@given(docs_strategy, st.integers(min_value=1, max_value=4))
+def test_jaccard_capped_matches_capped_bruteforce(spark, docs, cap):
+    """The default (capped) pairing equals brute-force Jaccard over the
+    frequency-capped shingle sets: drop shingles held by > cap docs,
+    recompute sizes, compare every surviving pair."""
+    from dropbox_duckdb_playground_spark.operators import dedup as D
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.ngram_jaccard_pairs(
+        D.shingles(df, n=3, with_size=True), threshold=0.0,
+        max_shingle_freq=cap,
+    ).collect()
+    got = {(r.a_id, r.b_id): r.jaccard for r in out}
+
+    def sh(toks):
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    freq: dict[str, int] = {}
+    sets = [sh(toks) for toks in docs]
+    for s in sets:
+        for g in s:
+            freq[g] = freq.get(g, 0) + 1
+    capped = [{g for g in s if freq[g] <= cap} for s in sets]
+    expect = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = capped[i], capped[j]
             if a & b:
                 expect[(i, j)] = round(len(a & b) / len(a | b), 4)
     assert got == expect
