@@ -3107,6 +3107,15 @@ _SEM_STAGE = os.path.join(
     "semdedup_stage",
 )
 
+# The decision cut is computed ONCE in Python IEEE-double arithmetic and
+# its exact value is injected into the oracle SQL: a literal
+# `0.3 - 0.00005` would be evaluated by DuckDB in exact DECIMAL
+# (0.29995, then cast) while Python subtracts in binary64
+# (0.29995000000000005) — a 1-ULP divergence that could flip a pair
+# whose cosine lands between the two cuts. repr() round-trips the
+# double exactly, so both engines compare against the same bits.
+_SEM_CUT = repr(0.3 - 0.00005)
+
 
 @register(
     "q79_semantic_dedup",
@@ -3117,7 +3126,7 @@ _SEM_STAGE = os.path.join(
       SELECT DISTINCT b.cand_id
       FROM assign a JOIN assign b
         ON a.list_id = b.list_id AND a.cand_id < b.cand_id
-      WHERE {_cos_sql("a.c_vec", "b.c_vec")} >= 0.3 - 0.00005)
+      WHERE {_cos_sql("a.c_vec", "b.c_vec")} >= CAST({_SEM_CUT} AS DOUBLE))
     SELECT s.cand_id AS vec_id, s.list_id,
            CASE WHEN d.cand_id IS NULL THEN 1 ELSE 0 END AS survived
     FROM assign s LEFT JOIN dead d ON s.cand_id = d.cand_id
@@ -6031,14 +6040,29 @@ def q124_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # public API used by __spark_entry__.py
 
 
+# Deterministic per-round rotation of the driver's correctness window.
+# The driver's gate samples the FIRST 50 entries of queries() each
+# round while the catalog holds 124 — a fixed order would certify the
+# same 50 forever. The committed offset advances by 50 per round
+# (offset = 50*(round-1) mod 124; rounds 1-4 ran at 0), so the
+# driver's own CORRECTNESS artifacts certify the whole catalog across
+# ~3 consecutive rounds: r5 -> q51..q100, r6 -> q101..q124+q01..q26,
+# r7 -> q27..q76, ... The full 124-query local mirror
+# (tools/check.py transcripts) is committed every round regardless.
+DRIVER_WINDOW_OFFSET = 50
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Catalog in REGISTRATION (source) order — deterministic across
-    runs. ORDERING CONTRACT: the driver's correctness gate samples the
-    first 50 entries, so q01-q50 are arranged to span every SURVEY §2
-    family (S/P/F/J/A/W/U/M/V/E/N/C) plus one representative of each
-    LLM-pipeline family; keep any new query AFTER q50 unless it
-    introduces a brand-new family."""
-    return {name: qd.fn for name, qd in REGISTRY.items()}
+    """Catalog rotated by DRIVER_WINDOW_OFFSET from REGISTRATION
+    (source) order — deterministic across runs. q01-q50 of the source
+    order span every SURVEY §2 family (S/P/F/J/A/W/U/M/V/E/N/C) plus
+    one representative of each LLM-pipeline family; the rotation only
+    changes WHICH 50 land in the driver's per-round window (see
+    DRIVER_WINDOW_OFFSET above)."""
+    names = list(REGISTRY)
+    k = DRIVER_WINDOW_OFFSET % len(names)
+    rotated = names[k:] + names[:k]
+    return {name: REGISTRY[name].fn for name in rotated}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -359,9 +359,11 @@ def semantic_dedup(
     Cross-engine decision-bit parity: cosine is computed in the SAME
     algebraic form the SQL oracle uses — raw dot divided by the product
     of norms (NOT normalize-then-dot, whose per-element rounding
-    differs) — and both engines compare ``cos >= t - 0.00005`` (the
-    HALF_UP preimage of ``round(cos,4) >= t``), so the predicate TEXT
-    is identical on both sides. The one remaining degree of freedom is
+    differs) — and both engines compare against the SAME binary64 cut:
+    the HALF_UP preimage ``t - 0.00005`` is computed once in Python
+    IEEE arithmetic and its exact repr() is injected into the oracle
+    SQL (a literal ``0.3 - 0.00005`` would evaluate in DuckDB's exact
+    DECIMAL, a 1-ULP different value). The one remaining degree of freedom is
     float-sum ORDER (BLAS blocked/FMA vs DuckDB's sequential list
     fold), a ~1-ULP (<1e-14) drift on 64-term sums; a pair flips only
     if its true cosine lies within that distance of the threshold.

@@ -11,6 +11,7 @@ the value is the input-shape coverage, not volume.
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -289,6 +290,34 @@ def test_micro_unit_revenue_equals_decimal(spark, rows):
         for p, d in rows
     )
     assert Decimal(micro) / 10_000 == expect
+
+
+@pytest.mark.parametrize("sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_money_micro_unit_data_contract(spark, sf):
+    """The micro-unit money rewrite (q73 family) rewrote BOTH engines to
+    round(p*100) longs in lockstep, so the differential gate can no
+    longer catch a deviation from the decimal formulation — correctness
+    rests on the data carrying exactly 2-dp prices and hundredth
+    discounts/taxes. This pins that contract against the ACTUAL
+    generated parquet: if a future generator change ships >2-dp money,
+    this fails loudly instead of both engines silently agreeing on a
+    rounded answer."""
+    from dropbox_duckdb_playground_spark.catalog import load
+
+    li = load(spark, sf, "lineitem")
+    bad = li.filter(
+        (F.round(F.col("l_extendedprice") * 100) / 100 != F.col("l_extendedprice"))
+        | (F.round(F.col("l_discount") * 100) / 100 != F.col("l_discount"))
+        | (F.round(F.col("l_tax") * 100) / 100 != F.col("l_tax"))
+    ).count()
+    assert bad == 0
+    o = load(spark, sf, "orders")
+    assert (
+        o.filter(
+            F.round(F.col("o_totalprice") * 100) / 100 != F.col("o_totalprice")
+        ).count()
+        == 0
+    )
 
 
 docs_strategy = st.lists(

@@ -97,6 +97,24 @@ ALLOWED = {
 }
 
 
+def _top_groups(s: str) -> list[str]:
+    """Top-level ``[...]`` groups by bracket depth — unlike a flat
+    regex, nested brackets inside a group (array literals, nested
+    window specs) do not split or shift the group boundaries."""
+    groups: list[str] = []
+    depth, start = 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]" and depth:
+            depth -= 1
+            if depth == 0:
+                groups.append(s[start : i + 1])
+    return groups
+
+
 def plan_str(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
@@ -120,7 +138,7 @@ def audit_one(name: str, p: str, out_cols: list[str]) -> dict:
     # without partitionBy entirely.)
     for ln in p.splitlines():
         if ln.startswith("Arguments:") and "windowspecdefinition" in ln:
-            groups = re.findall(r"\[[^\[\]]*\]", ln)
+            groups = _top_groups(ln)
             if len(groups) <= 2 and (
                 len(groups) < 2
                 or re.search(r"\b(ASC|DESC)\b", groups[-1])
