@@ -10,11 +10,14 @@ struct — the layout used by public web-scale dataset pipelines
 
 Decode / feature-extraction run as Arrow-batched `mapInPandas` stages so
 the heavy per-item work scales with partitions and never touches the
-driver. The codecs are pluggable: the defaults try PIL with a lazy
-worker-side import and fall back to a clearly-marked deterministic fake
-when it isn't installed (this container ships no image libs), so the
-Spark-side plumbing (schema, batching, partitioning) is real and tested
-everywhere and a cluster image with PIL gets real decodes with zero code
+driver. The codecs are pluggable and resolve in three tiers: PIL (lazy
+worker-side import; any format), a pure-stdlib PNG decoder (zlib
+inflate + PNG scanline unfilter — a REAL decode with no third-party
+dependency, so the real-codec path is exercised even in this
+container, which ships no image libs), and finally a clearly-marked
+deterministic fake for non-PNG bytes without PIL. The Spark-side
+plumbing (schema, batching, partitioning) is identical across tiers,
+so a cluster image with PIL gets full-format decodes with zero code
 change.
 """
 
@@ -102,13 +105,114 @@ def pil_image_decode(content: bytes) -> dict:
     return {"width": width, "height": height, "features": [r, g, b, lum]}
 
 
+def _png_pixels(content: bytes) -> tuple[int, int, int, bytearray]:
+    """Parse a PNG into (width, height, channels, unfiltered pixel
+    bytes) in pure stdlib: zlib inflate + per-scanline unfilter per the
+    PNG spec (RFC 2083). Supports non-interlaced 8-bit
+    gray/gray+alpha/RGB/RGBA — the variants a fixture or re-encode
+    pipeline produces. Raises ValueError for non-PNG bytes or
+    unsupported variants."""
+    import struct
+    import zlib
+
+    if content is None or bytes(content[:8]) != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    channels = None
+    idat = b""
+    while pos + 8 <= len(content):
+        ln, typ = struct.unpack(">I4s", content[pos : pos + 8])
+        pos += 8
+        data = content[pos : pos + ln]
+        pos += ln + 4  # skip CRC
+        if typ == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or interlace != 0 or color not in (0, 2, 4, 6):
+                raise ValueError("unsupported PNG variant")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if width is None or not idat:
+        raise ValueError("truncated PNG")
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    prev = bytearray(stride)
+    out = bytearray()
+    p = 0
+    for _y in range(height):
+        f = raw[p]
+        p += 1
+        line = bytearray(raw[p : p + stride])
+        p += stride
+        if f == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter {f}")
+        out += line
+        prev = line
+    return width, height, channels, out
+
+
+def stdlib_png_decode(content: bytes) -> dict:
+    """Real PNG decode in pure stdlib (see `_png_pixels`): true
+    dimensions plus the same 4-dim feature contract as
+    `pil_image_decode` (normalized mean R/G/B + Rec.709 luminance —
+    computed over the full image rather than a resampled thumbnail,
+    each codec's documented sampling)."""
+    width, height, channels, pix = _png_pixels(content)
+    rs = gs = bs = 0
+    for i in range(0, len(pix), channels):
+        if channels <= 2:  # gray / gray+alpha
+            rs += pix[i]
+            gs += pix[i]
+            bs += pix[i]
+        else:
+            rs += pix[i]
+            gs += pix[i + 1]
+            bs += pix[i + 2]
+    n = max(width * height, 1)
+    r, g, b = rs / (255.0 * n), gs / (255.0 * n), bs / (255.0 * n)
+    lum = 0.2126 * r + 0.7152 * g + 0.0722 * b
+    return {"width": width, "height": height, "features": [r, g, b, lum]}
+
+
 def default_image_decode(content: bytes) -> dict:
-    """PIL when importable, the deterministic fake otherwise — so the
-    same pipeline code runs real decodes on a cluster image that ships
-    PIL and stays testable in codec-less environments."""
+    """Codec ladder: PIL (any format) → stdlib PNG decoder (real
+    decode, zero dependencies) → deterministic fake. The same pipeline
+    code therefore runs a REAL decode for PNG content even in
+    codec-less environments, and degrades to the fake only for
+    non-PNG bytes without PIL."""
     try:
         return pil_image_decode(content)
     except ImportError:
+        pass
+    import struct
+    import zlib
+
+    try:
+        return stdlib_png_decode(content)
+    except (ValueError, IndexError, struct.error, zlib.error):
         return fake_image_decode(content)
 
 
@@ -169,11 +273,57 @@ def pil_image_resize(content: bytes, width: int, height: int) -> dict:
     return {"content": buf.getvalue(), "width": width, "height": height}
 
 
+def stdlib_png_resize(content: bytes, width: int, height: int) -> dict:
+    """Real PNG resize in pure stdlib: decode via `_png_pixels`,
+    nearest-neighbor sample to the target dims, re-encode as an
+    uncompressed-filter (type 0) zlib PNG. Deterministic bytes for
+    identical input — re-encoded output round-trips through
+    `stdlib_png_decode`."""
+    import struct
+    import zlib
+
+    w0, h0, ch, pix = _png_pixels(content)
+    raw = bytearray()
+    for y in range(height):
+        sy = min(h0 - 1, (y * h0) // height)
+        raw.append(0)  # filter type 0 per scanline
+        base = sy * w0 * ch
+        for x in range(width):
+            sx = min(w0 - 1, (x * w0) // width)
+            raw += pix[base + sx * ch : base + sx * ch + ch]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    return {"content": png, "width": width, "height": height}
+
+
 def default_image_resize(content: bytes, width: int, height: int) -> dict:
-    """PIL when importable, deterministic fake otherwise."""
+    """Codec ladder, same as `default_image_decode`: PIL → stdlib PNG
+    → deterministic fake."""
+    import struct
+    import zlib
+
     try:
         return pil_image_resize(content, width, height)
     except ImportError:
+        pass
+    try:
+        return stdlib_png_resize(content, width, height)
+    except (ValueError, IndexError, struct.error, zlib.error):
         return fake_image_resize(content, width, height)
 
 

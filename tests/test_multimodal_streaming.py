@@ -177,49 +177,76 @@ def test_resize_images_plumbing(spark):
 
 # -- real-codec path (PIL optional) -----------------------------------------
 
-# minimal valid 1x1 red PNG (public PNG spec; no image lib needed to embed)
+# minimal valid 1x1 red PNG (public PNG spec; generated by the stdlib
+# encoder in operators/multimodal.py and verified by its decoder —
+# the previous hand-transcribed fixture carried a corrupt zlib Adler-32
+# that no codec in this container had ever actually inflated)
 _PNG_1x1 = bytes.fromhex(
-    "89504e470d0a1a0a0000000d49484452000000010000000108020000009077"
-    "53de0000000c4944415408d763f8cfc0000000030001b9989ddd0000000049"
-    "454e44ae426082"
+    "89504e470d0a1a0a0000000d4948445200000001000000010802000000907753de"
+    "0000000c49444154789c63f8cfc0000003010100c9fe92ef"
+    "0000000049454e44ae426082"
 )
 
 
-def test_default_decode_falls_back_without_pil(spark):
-    """default_image_decode must work in codec-less environments by
-    falling back to the deterministic fake."""
+def test_default_decode_ladder_without_pil(spark):
+    """Without PIL, default_image_decode runs the REAL stdlib PNG
+    decoder for PNG content and degrades to the deterministic fake
+    only for non-PNG bytes."""
     import importlib.util
 
     from dropbox_duckdb_playground_spark.operators import multimodal as MM
 
-    if importlib.util.find_spec("PIL") is not None:
-        import pytest
-
-        pytest.skip("PIL installed — fallback path not reachable")
-    assert MM.default_image_decode(_PNG_1x1) == MM.fake_image_decode(_PNG_1x1)
-
-
-def test_pil_decode_real_png(spark):
-    """Real-codec path: decode an actual PNG through the default decode
-    inside the Spark pipeline (skipped when PIL is absent)."""
-    import importlib.util
-
-    import pytest
-
     if importlib.util.find_spec("PIL") is None:
-        pytest.skip("PIL not installed in this environment")
+        assert MM.default_image_decode(_PNG_1x1) == MM.stdlib_png_decode(
+            _PNG_1x1
+        )
+    assert MM.default_image_decode(b"not an image") == MM.fake_image_decode(
+        b"not an image"
+    )
+
+
+def test_real_codec_decode_png(spark):
+    """Real-codec path: decode an actual PNG through the default codec
+    ladder inside the Spark pipeline. Runs in EVERY environment — PIL
+    when installed, the stdlib PNG decoder otherwise — so the
+    real-decode path is always exercised. The fixture is a 1x1 pure-red
+    pixel: exact dims and exact mean-RGB features."""
     from dropbox_duckdb_playground_spark.operators import multimodal as MM
 
     df = spark.createDataFrame([(1, _PNG_1x1)], ["media_id", "content"])
     row = MM.decode_features(df).collect()[0]
     assert (row.width, row.height) == (1, 1)
-    # pure red 1x1: r≈1, g≈0, b≈0
-    assert row.features[0] > 0.9 and row.features[1] < 0.1
+    r, g, b, lum = row.features
+    assert abs(r - 1.0) < 1e-9 and g == 0.0 and b == 0.0
+    assert abs(lum - 0.2126) < 1e-9
 
-    resized = MM.resize_images(df, 4, 3).collect()[0]
-    assert (resized.width, resized.height) == (4, 3)
-    redecoded = MM.pil_image_decode(bytes(resized.content))
-    assert (redecoded["width"], redecoded["height"]) == (4, 3)
+
+def test_stdlib_png_resize_roundtrip(spark):
+    """stdlib_png_resize emits a valid PNG: nearest-neighbor upscale of
+    the 1x1 red fixture to 4x3 decodes back (through the real stdlib
+    decoder) to the right dims and the same pure-red features."""
+    from dropbox_duckdb_playground_spark.operators import multimodal as MM
+
+    out = MM.stdlib_png_resize(_PNG_1x1, 4, 3)
+    assert (out["width"], out["height"]) == (4, 3)
+    d = MM.stdlib_png_decode(out["content"])
+    assert (d["width"], d["height"]) == (4, 3)
+    r, g, b, _ = d["features"]
+    assert abs(r - 1.0) < 1e-9 and g == 0.0 and b == 0.0
+
+
+def test_resize_images_stage_real_codec(spark):
+    """The Arrow-batched resize stage emits decodable PNGs through the
+    default codec ladder (real codec in every environment)."""
+    from dropbox_duckdb_playground_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame([(1, _PNG_1x1)], ["media_id", "content"])
+    row = MM.resize_images(df, 8, 5).collect()[0]
+    assert (row.width, row.height) == (8, 5)
+    d = MM.stdlib_png_decode(bytes(row.content))
+    assert (d["width"], d["height"]) == (8, 5)
+    r, g, _b, _ = d["features"]
+    assert abs(r - 1.0) < 1e-9 and g == 0.0
 
 
 def test_streaming_incremental_crawl_e2e(spark, tmp_path):
