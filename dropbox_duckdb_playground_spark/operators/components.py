@@ -281,6 +281,7 @@ def pagerank(
     scale: int = 1_000_000_000_000,
     damping_pct: int = 85,
     checkpoint_every: int | None = None,
+    broadcast_node_limit: int = 8_000_000,
 ) -> DataFrame:
     """PageRank over a directed edge list, all-integer arithmetic.
 
@@ -295,19 +296,30 @@ def pagerank(
     uniform share + d%% of (contributions + dangling share), with each
     ``%%`` an integer ``div 100``.
 
-    Scale: the edge list and out-degree table are computed once and
-    pinned via ``materialize``; everything after that is ONE fully-lazy
-    unrolled plan. The rank vector has three consumers per round
-    (contribution join, dangling aggregate, final join), but every
-    consumer reaches ``r`` through the SAME aggregate exchange, and
-    Spark's exchange canonicalization collapses the duplicated subtrees
-    into ReusedExchange at runtime — so the unrolled plan executes each
-    round's shuffle exactly once with NO checkpoint, no cache, and no
-    per-round sync job. Measured at sf0.1 local[32]: the lazy unrolled
-    plan runs ~0.9-1.2s vs 3.2s for the checkpoint-every-2 variant and
-    4-5s for eager per-round materialize/persist variants — job-launch
-    overhead, not recomputation, was the cost. The dangling mass enters
-    as a 1-row broadcast built from the same reused exchange.
+    Scale: the deduped edge list is hash-partitioned on ``dst`` and
+    pinned ONCE via ``materialize`` (the dedupe groupBy runs on the
+    same dst-exchange — HashPartitioning(dst) satisfies the (src,dst)
+    clustering — so pre-partitioning costs nothing extra), and every
+    round after that is part of ONE fully-lazy unrolled plan. The
+    per-round join strategy is picked from the driver-known node count,
+    the same size-based adaptivity Spark's own broadcast threshold
+    applies:
+
+    - ``n_nodes <= broadcast_node_limit`` (node-sized tables fit an
+      executor): the rank slice joins the edge table as a BROADCAST
+      build side, so the contribution pass streams the dst-partitioned
+      edges and its ``groupBy(dst)`` reuses that partitioning — a
+      PageRank round with ZERO edge-sized shuffles. Rank-sized state
+      (contrib, dangling scalar) moves via node-sized exchanges only.
+    - larger graphs: shuffle sort-merge joins throughout (ranks cannot
+      be broadcast); repeated subtrees still collapse via exchange
+      canonicalization (ReusedExchange), so each round's shuffle
+      executes exactly once with no checkpoint and no per-round sync
+      job. Measured at sf0.1 local[32]: the lazy unrolled plan runs
+      ~0.9-1.2s vs 3.2s for the checkpoint-every-2 variant and 4-5s
+      for eager per-round materialize/persist variants — job-launch
+      overhead, not recomputation, was the cost.
+
     ``checkpoint_every`` (default None) exists for LARGE iteration
     counts, where an unrolled plan's analysis/planning time grows with
     depth: set a cadence (e.g. 10) and the rank vector is materialized
@@ -320,28 +332,43 @@ def pagerank(
     """
     from dropbox_duckdb_playground_spark.materialize import materialize
 
+    # The dst-repartition sits AFTER the checkpoint on purpose: a
+    # checkpoint boundary erases outputPartitioning metadata (the
+    # LogicalRDD under AQE reports unknown partitioning), so
+    # pre-partitioning the stored blocks cannot spare the per-round
+    # groupBy(dst) its exchange. Post-checkpoint, `epart` is the same
+    # Exchange over the same LogicalRDD in every round's subplan, so
+    # exchange reuse executes it ONCE per action, and every contrib
+    # groupBy(dst) then runs exchange-free on its output.
+    # materialize (block store), NOT DataFrame.persist: the columnar
+    # InMemoryRelation cache costs a compression pass per fill and a
+    # decompression per consumer — measured ~2x slower end-to-end here
+    # than checkpointed row blocks for the edge table.
     e = materialize(edges.select("src", "dst").distinct())
+    epart = e.repartition("dst")
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count("*").alias("outdeg")
     )
+    # No broadcast hint on deg: AQE picks broadcast when deg is small
+    # and sort-merge when it is not — the same size-gated adaptivity
+    # the per-round joins below apply via the n_nodes count, which is
+    # taken on the materialized table (a block-sized count, not a
+    # second scan of the node sources).
     n = materialize(
-        nodes.select("node").distinct().join(
-            F.broadcast(deg), "node", "left"
-        )
+        nodes.select("node").distinct().join(deg, "node", "left")
     )  # (node, outdeg|null)
     n_nodes = n.count()
+    small = n_nodes <= broadcast_node_limit
     init = scale // n_nodes
     base = (100 - damping_pct) * init // 100
     r = n.select("node", "outdeg", F.lit(init).cast("long").alias("r"))
     for it in range(iterations):
+        rsrc = r.filter(F.col("outdeg").isNotNull()).select(
+            F.col("node").alias("src"),
+            F.expr("r div outdeg").alias("c"),
+        )
         contrib = (
-            e.join(
-                r.filter(F.col("outdeg").isNotNull()).select(
-                    F.col("node").alias("src"),
-                    F.expr("r div outdeg").alias("c"),
-                ),
-                "src",
-            )
+            epart.join(F.broadcast(rsrc) if small else rsrc, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("contrib"))
         )
@@ -349,7 +376,7 @@ def pagerank(
             F.coalesce(F.sum("r"), F.lit(0)).alias("dang")
         )
         r = (
-            n.join(contrib, "node", "left")
+            n.join(F.broadcast(contrib) if small else contrib, "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
@@ -371,6 +398,18 @@ def pagerank(
             and (it + 1) < iterations
         ):
             r = materialize(r)
+        elif it + 1 < iterations:
+            # LAZY per-round persist (no forcing action): the rank
+            # vector has three consumers next round (contribution
+            # slice, dangling aggregate, final join). Exchange reuse
+            # collapses SOME of the duplicated subtrees, but the
+            # attribute-rewritten copies inside the dangling chains
+            # canonicalize unreliably; a node-sized cache makes the
+            # no-recompute property unconditional — the standard
+            # per-iteration persist of distributed PageRank (GraphX
+            # does exactly this with its rank RDD). First touch fills
+            # the cache inside the SAME action; no per-round job.
+            r = r.persist()
     return r.select("node", F.col("r").alias("rank"))
 
 
