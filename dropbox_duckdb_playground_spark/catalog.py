@@ -4104,28 +4104,39 @@ def q95_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts the distinct bench shingles. Deterministic md5 bit
     positions (Kirsch-Mitzenmacher double hashing — ONE md5 per
     shingle, k derived positions) make the filter itself
-    hash-checkable across engines. Three jobs total: the small distinct
-    bench-shingle table is materialized once for its two consumers
-    (bitmap build, exact join), the bitmap build collects its <=65536
-    distinct bits, then the probe job makes one narrow pass over the
-    train slice with the in-row bit tests, a broadcast exact join
-    (false-positive accounting), and the per-doc aggregate — the only
-    exchange in the whole probe plan. Caching the exploded TRAIN
-    shingle table was measured SLOWER than recomputing the narrow
-    pipeline (same result as q120's digest-reuse note: a 2M-string-row
-    cache re-scan loses to compute)."""
-    from dropbox_duckdb_playground_spark.materialize import materialize
+    hash-checkable across engines. TWO jobs total: one job collects
+    the distinct bench shingle set (bench-suite-sized by definition —
+    the bounded side of any decontamination run, and exactly what
+    single-node decontamination tooling holds in memory), the driver
+    derives the bitmap from it in pure Python
+    (``bloom_bitmap_from_values``, bit-identical md5 positions pinned
+    by a parity test), and the probe job makes one narrow pass over
+    the train slice with the in-row bit tests, a broadcast exact join
+    against the re-parallelized bench set (false-positive accounting),
+    and the per-doc aggregate — the only exchange in the whole probe
+    plan. Caching the exploded TRAIN shingle table was measured SLOWER
+    than recomputing the narrow pipeline (same result as q120's
+    digest-reuse note: a 2M-string-row cache re-scan loses to
+    compute)."""
     from dropbox_duckdb_playground_spark.operators import sketches as SK
 
     d = load(spark, sf_dir, "documents")
     sh = D.shingles(d, n=3)
-    bench = materialize(
-        sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
-    )
-    words = SK.bloom_bitmap(SK.bloom_bits(bench, "shingle"))
+    bench_vals = [
+        row[0]
+        for row in sh.filter(F.col("doc_id") % 50 == 0)
+        .select("shingle")
+        .distinct()
+        .collect()
+    ]
+    words = SK.bloom_bitmap_from_values(bench_vals)
     train = sh.filter(F.col("doc_id") % 50 != 0)
     flags = SK.bloom_contains_bits(train, words, "shingle")
-    exact = F.broadcast(bench.withColumn("__hit__", F.lit(1)))
+    exact = F.broadcast(
+        spark.createDataFrame(
+            [(v,) for v in bench_vals], schema="shingle string"
+        ).withColumn("__hit__", F.lit(1))
+    )
     return (
         flags.join(exact, "shingle", "left")
         .groupBy("doc_id")

@@ -242,6 +242,31 @@ def bloom_bitmap(bits: DataFrame) -> list[int]:
     return words
 
 
+def bloom_bitmap_from_values(values, salt: str = "bf:") -> list[int]:
+    """Packed bitmap (m/64 little-endian longs) from an in-memory
+    member list — the pure-Python twin of ``bloom_bits`` +
+    ``bloom_bitmap`` for callers that already hold the member set on
+    the driver (e.g. a collected benchmark suite). Bit positions are
+    bit-identical to the Spark path: the same md5-derived 60-bit hash
+    (``_phash``: conv(substring(md5(salt||v),1,15),16,10)) and the
+    same Kirsch-Mitzenmacher double hashing — pinned by a parity test
+    against the DataFrame form."""
+    import hashlib
+
+    mask = BLOOM_M - 1
+    words = [0] * (BLOOM_M // 64)
+    for v in values:
+        h = int(
+            hashlib.md5((salt + str(v)).encode("utf-8")).hexdigest()[:15], 16
+        )
+        h1 = h & mask
+        h2 = ((h >> 16) & mask) | 1
+        for i in range(BLOOM_K):
+            b = (h1 + i * h2) & mask
+            words[b // 64] |= 1 << (b % 64)
+    return words
+
+
 def bloom_contains_bits(
     probe: DataFrame, words: list[int], col: str
 ) -> DataFrame:

@@ -84,6 +84,20 @@ class TestBloom:
         bits = SK.bloom_bits(ids, "v")
         assert bits.count() <= SK.BLOOM_M
 
+    def test_python_bitmap_parity(self, spark, ids):
+        # the driver-side bitmap (pure-Python md5 path) must set
+        # exactly the bits the DataFrame path sets — q95 depends on it
+        values = [r.v for r in ids.collect()]
+        py_words = SK.bloom_bitmap_from_values(values)
+        df_words = SK.bloom_bitmap(SK.bloom_bits(ids, "v"))
+        assert py_words == df_words
+
+    def test_python_bitmap_contains(self, spark, ids):
+        values = [r.v for r in ids.collect()]
+        words = SK.bloom_bitmap_from_values(values)
+        probed = SK.bloom_contains_bits(ids, words, "v").collect()
+        assert all(r.in_bloom for r in probed)  # no false negatives
+
 
 class TestPageRank:
     @pytest.fixture(scope="class")
