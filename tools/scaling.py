@@ -91,18 +91,10 @@ def classify(slope: float) -> str:
 # production path — the note rides the class cell on every regeneration.
 ROW_NOTES = {
     "q26_jaccard_pairs": (
-        " (data-inherent measurement baseline — production path is"
-        " q64/q65, see analysis below)"
-    ),
-    "q43_flagship_graph": (
-        " (sf1 slope inherited from the unbounded pair-miner — see q43"
-        " stage profile below)"
-    ),
-    "q34_er_doc_clusters": (
-        " (same inherited pair-miner quadratic as q43: the ER chain"
-        " runs the unbounded exact blocker for oracle parity; capped"
-        " blocking via max_block_size / q64-style freq caps is the"
-        " production path)"
+        " (data-inherent measurement baseline — explicitly uncapped"
+        " via exact=True; every production consumer now runs the"
+        " DEFAULT max_shingle_freq cap and is measured separately:"
+        " q34/q43/q47/q64/q65/q120)"
     ),
 }
 
