@@ -631,15 +631,19 @@ def q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM t)
     SELECT doc_id,
            CAST(n_tok_raw AS BIGINT) AS n_tokens,
-           round(stop_cnt * 1.0 / n_tok, 4) AS stopword_ratio,
-           round(n_distinct * 1.0 / n_tok, 4) AS distinct_ratio,
-           round(char_sum * 1.0 / n_tok, 4) AS mean_word_len,
-           round(least(n_tok_raw / 100.0, 1.0) * 0.25
-                 + least(stop_cnt * 5.0 / n_tok, 1.0) * 0.25
-                 + (n_distinct * 1.0 / n_tok) * 0.25
-                 + (CASE WHEN char_sum * 1.0 / n_tok >= 3
-                              AND char_sum * 1.0 / n_tok <= 10
-                         THEN 1.0 ELSE 0.0 END) * 0.25, 4) AS quality
+           ((20000 * stop_cnt + n_tok) // (2 * n_tok)) / CAST(10000 AS DOUBLE)
+               AS stopword_ratio,
+           ((20000 * n_distinct + n_tok) // (2 * n_tok)) / CAST(10000 AS DOUBLE)
+               AS distinct_ratio,
+           ((20000 * char_sum + n_tok) // (2 * n_tok)) / CAST(10000 AS DOUBLE)
+               AS mean_word_len,
+           ((20000 * (least(n_tok_raw, 100) * n_tok
+                      + 100 * least(5 * stop_cnt, n_tok)
+                      + 100 * n_distinct
+                      + CASE WHEN char_sum >= 3 * n_tok
+                                  AND char_sum <= 10 * n_tok
+                             THEN 100 * n_tok ELSE 0 END)
+             + 400 * n_tok) // (800 * n_tok)) / 10000.0 AS quality
     FROM f
     """,
     tags="text-quality",
@@ -779,11 +783,11 @@ def q25_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
       GROUP BY 1, 2)
     SELECT c.a_id, c.b_id,
-           round(c.common * 1.0 / (sa.sz + sb.sz - c.common), 4) AS jaccard
+           (((20000 * c.common) + (sa.sz + sb.sz - c.common)) // (2 * (sa.sz + sb.sz - c.common))) / CAST(10000 AS DOUBLE) AS jaccard
     FROM common c
     JOIN sizes sa ON c.a_id = sa.doc_id
     JOIN sizes sb ON c.b_id = sb.doc_id
-    WHERE round(c.common * 1.0 / (sa.sz + sb.sz - c.common), 4) >= 0.2
+    WHERE (((20000 * c.common) + (sa.sz + sb.sz - c.common)) // (2 * (sa.sz + sb.sz - c.common))) / CAST(10000 AS DOUBLE) >= 0.2
     """,
     tags="dedup-jaccard",
 )
@@ -1037,7 +1041,7 @@ DOC_CLUSTER_CTES = f"""toks AS (SELECT doc_id, trim(text) AS t FROM documents),
     match_edges AS (
       SELECT a, b FROM jpairs p
       JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id
-      WHERE round(p.common * 1.0 / (sa.sz + sb.sz - p.common), 4) >= 0.2),
+      WHERE (((20000 * p.common) + (sa.sz + sb.sz - p.common)) // (2 * (sa.sz + sb.sz - p.common))) / CAST(10000 AS DOUBLE) >= 0.2),
     cedges AS (
       SELECT a, b FROM match_edges UNION SELECT b, a FROM match_edges
       UNION SELECT doc_id, doc_id FROM documents),
@@ -1678,7 +1682,7 @@ def q47_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM train t LEFT JOIN bench b ON t.shingle = b.shingle
       GROUP BY t.doc_id)
     SELECT doc_id, n_shingles, n_contaminated,
-           round(n_contaminated * 1.0 / n_shingles, 4) AS contamination
+           (((20000 * n_contaminated) + n_shingles) // (2 * n_shingles)) / CAST(10000 AS DOUBLE) AS contamination
     FROM hits
     """,
     tags="corpus-curation decontamination",
@@ -2409,11 +2413,11 @@ _SHINGLE_CTES = f"""
       FROM sh l JOIN sh r ON l.sh = r.sh AND l.doc_id < r.doc_id
       GROUP BY 1, 2)
     SELECT c.a_id, c.b_id,
-           round(c.common * 1.0 / (sa.sz + sb.sz - c.common), 4) AS jaccard
+           (((20000 * c.common) + (sa.sz + sb.sz - c.common)) // (2 * (sa.sz + sb.sz - c.common))) / CAST(10000 AS DOUBLE) AS jaccard
     FROM common c
     JOIN sizes sa ON c.a_id = sa.doc_id
     JOIN sizes sb ON c.b_id = sb.doc_id
-    WHERE round(c.common * 1.0 / (sa.sz + sb.sz - c.common), 4) >= 0.2
+    WHERE (((20000 * c.common) + (sa.sz + sb.sz - c.common)) // (2 * (sa.sz + sb.sz - c.common))) / CAST(10000 AS DOUBLE) >= 0.2
     """,
     tags="dedup-jaccard hot-key-cap scale-guard",
 )
@@ -3164,8 +3168,9 @@ def q79_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n_grams,
            CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_boiler,
-           round(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0
-                 / count(*), 4) AS boiler_ratio
+           ((20000 * sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)
+             + count(*)) // (2 * count(*)))
+               / CAST(10000 AS DOUBLE) AS boiler_ratio
     FROM sh s JOIN freq f ON s.g = f.g
     GROUP BY s.doc_id
     """,
@@ -3190,7 +3195,12 @@ def q80_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_grams"),
             F.sum(boiler).cast("long").alias("n_boiler"),
-            F.round(F.sum(boiler) / F.count("*"), 4).alias("boiler_ratio"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_boiler",
+            TX.ratio4_expr("n_boiler", "n_grams").alias("boiler_ratio"),
         )
     )
 
@@ -4368,12 +4378,14 @@ def q99_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM t),
     q AS (SELECT doc_id, lang,
                  CAST(n_tok_raw AS BIGINT) AS n_tokens,
-                 round(least(n_tok_raw / 100.0, 1.0) * 0.25
-                       + least(stop_cnt * 5.0 / n_tok, 1.0) * 0.25
-                       + (n_distinct * 1.0 / n_tok) * 0.25
-                       + (CASE WHEN char_sum * 1.0 / n_tok >= 3
-                                    AND char_sum * 1.0 / n_tok <= 10
-                               THEN 1.0 ELSE 0.0 END) * 0.25, 4) AS quality
+                 ((20000 * (least(n_tok_raw, 100) * n_tok
+                            + 100 * least(5 * stop_cnt, n_tok)
+                            + 100 * n_distinct
+                            + CASE WHEN char_sum >= 3 * n_tok
+                                        AND char_sum <= 10 * n_tok
+                                   THEN 100 * n_tok ELSE 0 END)
+                   + 400 * n_tok) // (800 * n_tok))
+                     / CAST(10000 AS DOUBLE) AS quality
           FROM f),
     pos AS (
       SELECT doc_id, unnest(toks) AS tok,
@@ -4388,8 +4400,9 @@ def q99_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq AS (SELECT g, count(*) AS n_docs FROM sh GROUP BY g),
     boiler AS (
       SELECT s.doc_id,
-             round(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) * 1.0
-                   / count(*), 4) AS boiler_ratio
+             ((20000 * sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)
+               + count(*)) // (2 * count(*)))
+                 / CAST(10000 AS DOUBLE) AS boiler_ratio
       FROM sh s JOIN freq f ON s.g = f.g
       GROUP BY s.doc_id)
     SELECT q.doc_id, q.lang, q.n_tokens, q.quality,
@@ -4426,12 +4439,12 @@ def q100_curation_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.join(freq, "shingle")
         .groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
-                / F.count("*"),
-                4,
-            ).alias("boiler_ratio")
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("__b__"),
+            F.count("*").alias("__n__"),
         )
+        .select("doc_id", TX.ratio4_expr("__b__", "__n__").alias("boiler_ratio"))
     )
     feats = (
         q.join(boiler, "doc_id", "left")
@@ -5649,19 +5662,22 @@ def q119_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM qt),
     qq AS (SELECT doc_id,
                   CAST(n_tok_raw AS BIGINT) AS n_tokens,
-                  round(least(n_tok_raw / 100.0, 1.0) * 0.25
-                        + least(stop_cnt * 5.0 / n_tok, 1.0) * 0.25
-                        + (n_distinct * 1.0 / n_tok) * 0.25
-                        + (CASE WHEN char_sum * 1.0 / n_tok >= 3
-                                     AND char_sum * 1.0 / n_tok <= 10
-                                THEN 1.0 ELSE 0.0 END) * 0.25, 4) AS quality
+                  ((20000 * (least(n_tok_raw, 100) * n_tok
+                             + 100 * least(5 * stop_cnt, n_tok)
+                             + 100 * n_distinct
+                             + CASE WHEN char_sum >= 3 * n_tok
+                                         AND char_sum <= 10 * n_tok
+                                    THEN 100 * n_tok ELSE 0 END)
+                    + 400 * n_tok) // (800 * n_tok))
+                      / CAST(10000 AS DOUBLE) AS quality
            FROM qf),
     bdf AS (
       SELECT doc_id, count(*) OVER (PARTITION BY sh) AS df FROM shall),
     qboiler AS (
       SELECT doc_id,
-             round(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1.0
-                   / count(*), 4) AS boiler_ratio
+             ((20000 * sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)
+               + count(*)) // (2 * count(*)))
+                 / CAST(10000 AS DOUBLE) AS boiler_ratio
       FROM bdf GROUP BY doc_id),
     keepers AS (
       SELECT qq.doc_id, qq.n_tokens, qq.quality,
@@ -5731,12 +5747,12 @@ def q120_train_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     boiler = (
         wdf.groupBy("doc_id")
         .agg(
-            F.round(
-                F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
-                / F.count("*"),
-                4,
-            ).alias("boiler_ratio")
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("__b__"),
+            F.count("*").alias("__n__"),
         )
+        .select("doc_id", TX.ratio4_expr("__b__", "__n__").alias("boiler_ratio"))
     )
     keepers = (
         q.join(boiler, "doc_id", "left")

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from dropbox_duckdb_playground_spark.materialize import materialize
 from dropbox_duckdb_playground_spark.operators.relational import fan_out
-from dropbox_duckdb_playground_spark.operators.text import tokens_col
+from dropbox_duckdb_playground_spark.operators.text import ratio4_expr, tokens_col
 
 # 60-bit portable integer digest: first 15 hex chars of md5 -> bigint.
 def _hex60(c: Column) -> Column:
@@ -357,12 +357,13 @@ def ngram_jaccard_pairs(
             .join(sizes.select(F.col(key).alias("a_id"), F.col("sz").alias("sz_a")), "a_id")
             .join(sizes.select(F.col(key).alias("b_id"), F.col("sz").alias("sz_b")), "b_id")
         )
+    # exact integer 4dp rounding (see text.ratio4_expr): |A∩B| and the
+    # union size are integers, and double-rounding the ratio can flip
+    # the last digit at .00005 boundaries differently per engine
     return (
         common.withColumn(
             "jaccard",
-            F.round(
-                F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common")), 4
-            ),
+            ratio4_expr("common", "sz_a + sz_b - common"),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
@@ -506,7 +507,5 @@ def contamination_check(
         F.col(key),
         "n_shingles",
         "n_contaminated",
-        F.round(F.col("n_contaminated") / F.col("n_shingles"), 4).alias(
-            "contamination"
-        ),
+        ratio4_expr("n_contaminated", "n_shingles").alias("contamination"),
     )

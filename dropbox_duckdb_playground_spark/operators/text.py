@@ -49,6 +49,19 @@ def token_stats(df: DataFrame, text: str = "text", key: str = "doc_id") -> DataF
     )
 
 
+def ratio4_expr(p: str, q: str) -> Column:
+    """``round(p/q, 4)`` for non-negative integer column expressions,
+    in EXACT integer arithmetic (half-up): ``(20000p + q) div 2q`` over
+    10^4. Double-rounding the same ratio can flip the last digit at
+    .00005 boundaries depending on engine/association order — this form
+    is bit-identical everywhere (DuckDB twin: ``(20000*p + q) //
+    (2*q) / CAST(10000 AS DOUBLE)``)."""
+    return F.expr(
+        f"(((20000L * ({p})) + ({q})) div (2L * ({q})))"
+        " / cast(10000 as double)"
+    )
+
+
 def quality_score(
     df: DataFrame,
     text: str = "text",
@@ -60,29 +73,52 @@ def quality_score(
     Features follow the public Gopher/C4-style rules: length, mean word
     length, stopword ratio, repetition (distinct-token ratio). The score
     is a fixed deterministic linear blend for filtering; thresholds are
-    caller policy."""
+    caller policy.
+
+    Every ratio is a ratio of COUNTS, so the 4-decimal rounding is done
+    in exact integer arithmetic — ``round(p/q, 4)`` half-up for
+    positive integers is ``(20000*p + q) div (2*q)`` over 10^4 — and
+    the quality blend is put over the common denominator ``400*n_tok``
+    first. Rounding the nearest DOUBLE instead diverges between engines
+    exactly at the .00005 boundaries (a 1-ulp association difference
+    flips the rounded digit — observed at sf1 on the quality blend), the
+    same class of bug the money columns fixed with micro-units; the
+    integer form is bit-identical on any engine."""
     toks = tokens_col(text)
-    n_tok = F.greatest(F.size(toks), F.lit(1))
-    stop_arr = F.array(*[F.lit(s) for s in stopwords])
-    stop_cnt = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
-    stop_ratio = stop_cnt / n_tok
-    mean_wlen = F.aggregate(
-        toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)
-    ) / n_tok
-    score = (
-        F.least(F.size(toks) / F.lit(100.0), F.lit(1.0)) * 0.25
-        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * 0.25
-        + distinct_ratio * 0.25
-        + F.when((mean_wlen >= 3) & (mean_wlen <= 10), 1.0).otherwise(0.0) * 0.25
-    )
-    return df.select(
+    base = df.select(
         F.col(key),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.round(stop_ratio, 4).alias("stopword_ratio"),
-        F.round(distinct_ratio, 4).alias("distinct_ratio"),
-        F.round(mean_wlen, 4).alias("mean_word_len"),
-        F.round(score, 4).alias("quality"),
+        F.size(toks).cast("long").alias("__ntr__"),
+        F.greatest(F.size(toks), F.lit(1)).cast("long").alias("__nt__"),
+        F.size(
+            F.filter(
+                toks,
+                lambda t: F.array_contains(
+                    F.array(*[F.lit(s) for s in stopwords]), t
+                ),
+            )
+        ).cast("long").alias("__stop__"),
+        F.size(F.array_distinct(toks)).cast("long").alias("__dist__"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("__chars__"),
+    )
+    # blend over the common denominator 400*n_tok:
+    #   min(ntr,100)/100/4 + min(5*stop,nt)/nt/4 + dist/nt/4 + flag/4
+    blend_num = (
+        "least(__ntr__, 100L) * __nt__"
+        " + 100L * least(5L * __stop__, __nt__)"
+        " + 100L * __dist__"
+        " + if(__chars__ >= 3L * __nt__ and __chars__ <= 10L * __nt__,"
+        "      100L * __nt__, 0L)"
+    )
+    r4 = "(((20000L * ({p})) + ({q})) div (2L * ({q}))) / cast(10000 as double)"
+    return base.select(
+        F.col(key),
+        F.col("__ntr__").alias("n_tokens"),
+        F.expr(r4.format(p="__stop__", q="__nt__")).alias("stopword_ratio"),
+        F.expr(r4.format(p="__dist__", q="__nt__")).alias("distinct_ratio"),
+        F.expr(r4.format(p="__chars__", q="__nt__")).alias("mean_word_len"),
+        F.expr(r4.format(p=blend_num, q="400L * __nt__")).alias("quality"),
     )
 
 

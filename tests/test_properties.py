@@ -360,3 +360,47 @@ def test_lsh_bucket_cap_is_a_pure_subset(spark, texts):
         ).collect()
     }
     assert huge_cap == full
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=1, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_ratio4_expr_is_exact_rational_rounding(spark, pairs):
+    """ratio4_expr(p, q) must equal round-half-up of the EXACT rational
+    p/q at 4 decimals (computed via Fraction) — including the .00005
+    boundary cases where double rounding diverges per engine, which is
+    the bug class it exists to remove (observed on the q100 quality
+    blend at sf1). Also pins the DuckDB twin `(20000p+q)//(2q)`."""
+    from fractions import Fraction
+
+    from dropbox_duckdb_playground_spark.operators.text import ratio4_expr
+
+    # force boundary cases in every run: p/q = x.00005 exactly
+    pairs = pairs + [(5, 100000), (15, 100000), (71125, 100000), (1, 20000)]
+    df = spark.createDataFrame(pairs, ["p", "q"])
+    got = {
+        (r.p, r.q): r.r
+        for r in df.select("p", "q", ratio4_expr("p", "q").alias("r")).collect()
+    }
+    import duckdb
+
+    con = duckdb.connect()
+    for p, q in pairs:
+        exact = Fraction(p, q)
+        scaled = exact * 10000
+        n, d = scaled.numerator, scaled.denominator
+        expect = (2 * n + d) // (2 * d) / 10000  # half-up on the rational
+        assert got[(p, q)] == expect, (p, q, got[(p, q)], expect)
+        duck = con.execute(
+            f"SELECT ((20000 * {p} + {q}) // (2 * {q}))"
+            f" / CAST(10000 AS DOUBLE)"
+        ).fetchone()[0]
+        assert duck == expect, (p, q, duck, expect)
