@@ -35,7 +35,7 @@ HANDSHAKE = {
     "q79_semantic_dedup": "k-means fit + staged-parquet quantizer",
     "q107_pq_ann": "PQ codebook fit + staged parquet",
     "q95_bloom_contamination": "bench-bits collect -> literal bitmap",
-    "q92_pagerank": "edge/degree materialize + per-round driver loop",
+    "q92_pagerank": "edge/degree materialize + node-count gate jobs",
 }
 
 FAMILIES = [
