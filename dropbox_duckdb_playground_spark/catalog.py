@@ -3591,8 +3591,15 @@ def q88_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_suppkey",
         F.when(F.col("l_us") > F.col("o_us") + _US_90D, 1).otherwise(0).alias("late"),
     )
-    per_supp = l1.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("late").alias("late")
+    # repartition on orderkey FIRST: hash(l_orderkey) satisfies the
+    # (l_orderkey, l_suppkey) clustering, so the rollup adds no second
+    # exchange — and now per_ord and the ps-po join genuinely reuse
+    # the one fact shuffle (a groupBy over both keys would partition
+    # on the pair, which no downstream orderkey consumer can use).
+    per_supp = (
+        l1.repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("late"))
     )
     per_ord = per_supp.groupBy("l_orderkey").agg(
         F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
@@ -4206,12 +4213,12 @@ def q96_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH agg AS (
       SELECT l_returnflag,
-             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
-                 AS sum_qty,
-             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
-                 AS sum_price,
-             CAST(round(sum(CAST(l_discount AS DECIMAL(18,6))), 2) AS DOUBLE)
-                 AS sum_disc
+             sum(CAST(round(l_quantity * 100) AS BIGINT))
+                 / CAST(100 AS DOUBLE) AS sum_qty,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                 / CAST(100 AS DOUBLE) AS sum_price,
+             sum(CAST(round(l_discount * 100) AS BIGINT))
+                 / CAST(100 AS DOUBLE) AS sum_disc
       FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
     UNION ALL
@@ -4223,23 +4230,25 @@ def q96_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q97_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-to-long unpivot via ``stack`` — the inverse of q19's pivot.
-    The measure sums aggregate once (decimal-exact), then stack emits 3
-    rows per flag IN-PLAN (a generator, not a self-union: the aggregate
-    subtree executes once, where the SQL UNION ALL formulation would
-    re-scan it three times without CTE materialization)."""
+    The measure sums aggregate once in integer cents (the micro-unit
+    money pattern of q98/q51-q53, covered by the data-contract
+    property test: exact, order-invariant, whole-stage-codegen long
+    arithmetic — the previous DECIMAL(18,6) sums ran ~1s of boxed
+    BigDecimal aggregation for the same exact result), then stack
+    emits 3 rows per flag IN-PLAN (a generator, not a self-union: the
+    aggregate subtree executes once, where the SQL UNION ALL
+    formulation would re-scan it three times without CTE
+    materialization)."""
+    cents = lambda c: F.sum(  # noqa: E731
+        F.round(F.col(c) * 100).cast("long")
+    ) / F.lit(100.0)
     agg = (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.sum(F.col("l_quantity").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("sum_qty"),
-            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("sum_price"),
-            F.round(F.sum(F.col("l_discount").cast("decimal(18,6)")), 2)
-            .cast("double")
-            .alias("sum_disc"),
+            cents("l_quantity").alias("sum_qty"),
+            cents("l_extendedprice").alias("sum_price"),
+            cents("l_discount").alias("sum_disc"),
         )
     )
     return agg.selectExpr(
@@ -4685,7 +4694,7 @@ def q102_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ps AS ({_PS_DUCK}),
     shipped AS (
       SELECT l_partkey, l_suppkey,
-             sum(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+             sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -4697,7 +4706,7 @@ def q102_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN shipped sh ON ps.ps_partkey = sh.l_partkey
                      AND ps.ps_suppkey = sh.l_suppkey
       WHERE p.p_name LIKE '%widget%'
-        AND CAST(2 * ps.ps_availqty AS DECIMAL(18,6)) > sh.qty)
+        AND 200 * ps.ps_availqty > sh.qty_c)
     SELECT s.s_name, s.s_acctbal, n.n_name AS nation
     FROM supplier s
     JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -4711,8 +4720,9 @@ def q103_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     modeled stock of a widget part exceeds half of what they shipped in
     1997 — the classic doubly-nested IN rewritten as joins + one semi
     join. The correlated `0.5 * sum(l_quantity)` comparison is
-    rewritten `2*availqty > sum(qty)` in DECIMAL, so the threshold bit
-    is exact in both engines (q86/Q17's half-average trick). The
+    rewritten `200*availqty > sum(qty_cents)` in LONG centi-units (the
+    micro-unit money pattern), so the threshold bit is exact in both
+    engines with whole-stage-codegen integer sums. The
     1997 shipped-quantity aggregate and the ps DISTINCT ride the same
     (partkey, suppkey) shuffle key; part and the final supplier/nation
     dimensions broadcast."""
@@ -4729,7 +4739,11 @@ def q103_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < "1998-01-01")
         )
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty"))
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias(
+                "qty_c"
+            )
+        )
     )
     # both sides arrive keyed on (partkey, suppkey) from their own
     # aggregates — a merge join reuses those exchanges; AQE's broadcast
@@ -4741,7 +4755,7 @@ def q103_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ps["ps_partkey"] == shipped["l_partkey"])
             & (ps["ps_suppkey"] == shipped["l_suppkey"]),
         )
-        .filter((F.lit(2) * F.col("ps_availqty")).cast("decimal(18,6)") > F.col("qty"))
+        .filter(F.lit(200) * F.col("ps_availqty") > F.col("qty_c"))
         .select("ps_suppkey")
         .distinct()
     )
