@@ -5090,8 +5090,14 @@ def q109_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equal and executes once (ReusedExchange) — an eager checkpoint
     # here only added a sync job + re-scan (measured ~0.3s slower)
     h1 = e.filter(F.col("cust") < 20).select(F.col("cust").alias("seed"), "supp")
+    # the seed frontier is query-sized (the ego-network pattern: a
+    # bounded seed set, not the whole graph), so hop-2 BROADCASTS it
+    # into the edge probe — without the hint this join re-shuffles the
+    # full edge set on supp, doubling the fact exchanges. Whole-graph
+    # BFS (unbounded frontiers) belongs to the shuffle-based operator
+    # in operators/components.py instead.
     h2 = (
-        h1.join(e, "supp")
+        e.join(F.broadcast(h1), "supp")
         .filter(F.col("cust") != F.col("seed"))
         .select("seed", "cust")
         .distinct()
