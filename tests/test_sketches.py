@@ -125,6 +125,35 @@ class TestPageRank:
         # integer floor-division leaks at most a few units per node/step
         assert abs(total - 1_000_000_000_000) < 1_000_000
 
+    def test_broadcast_and_shuffle_paths_bit_identical(self, spark):
+        """The n_nodes gate picks broadcast rounds for small graphs and
+        shuffle sort-merge rounds for large ones; both must compute the
+        SAME integer ranks — the fallback path never runs at test node
+        counts unless forced, so force it via broadcast_node_limit=0."""
+        import random
+
+        rng = random.Random(77)
+        nodes = [(i,) for i in range(60)]
+        edges = list(
+            {
+                (rng.randrange(60), rng.randrange(60))
+                for _ in range(200)
+            }
+        )
+        e = spark.createDataFrame(edges, ["src", "dst"])
+        n = spark.createDataFrame(nodes, ["node"])
+        small = {
+            r.node: r.rank
+            for r in pagerank(e, n, iterations=3).collect()
+        }
+        forced_shuffle = {
+            r.node: r.rank
+            for r in pagerank(
+                e, n, iterations=3, broadcast_node_limit=0
+            ).collect()
+        }
+        assert small == forced_shuffle
+
     def test_catalog_query_supplier_grain(self, spark, sf_dir):
         from dropbox_duckdb_playground_spark.catalog import queries
 
