@@ -344,3 +344,72 @@ def test_jaccard_pre_hashed_matches_raw(spark):
         ).collect()
     }
     assert raw == pre and len(raw) == 1  # only (1,2) overlap enough
+
+
+def test_jaccard_doc_freq_col_shortcut_matches_internal_window(spark):
+    """q120's shared-frequency path (caller-computed doc_freq_col on a
+    pre-hashed digest table) must produce exactly the pairs the
+    internal cap window produces for the same cap."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = _docs(
+        spark,
+        [
+            (1, "a b c d e f"),
+            (2, "a b c d e g"),
+            (3, "a b c x y z"),
+            (4, "p q r s t u"),
+            (5, "p q r s t v"),
+        ],
+    )
+    sh = D.shingles(df, n=3)
+    internal = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in D.ngram_jaccard_pairs(
+            sh, threshold=0.0, max_shingle_freq=2
+        ).collect()
+    }
+    hashed = sh.select("doc_id", D._hex60(F.col("shingle")).alias("sh"))
+    wdf = hashed.withColumn(
+        "df", F.count("*").over(Window.partitionBy("sh"))
+    )
+    shortcut = {
+        (r.a_id, r.b_id, r.jaccard)
+        for r in D.ngram_jaccard_pairs(
+            wdf,
+            threshold=0.0,
+            pre_hashed=True,
+            doc_freq_col="df",
+            max_shingle_freq=2,
+        ).collect()
+    }
+    assert internal == shortcut and internal
+
+
+def test_bloom_join_form_equals_literal_form(spark):
+    """bloom_contains (broadcast bit join, for filters too large to
+    ship as a literal) and bloom_contains_bits (in-plan literal bitmap)
+    must agree on every probe — members AND non-members."""
+    from pyspark.sql import functions as F
+
+    from dropbox_duckdb_playground_spark.operators import sketches as SK
+
+    members = spark.createDataFrame(
+        [(f"m{i}",) for i in range(50)], ["v"]
+    )
+    probes = spark.createDataFrame(
+        [(f"m{i}",) for i in range(50)] + [(f"x{i}",) for i in range(200)],
+        ["v"],
+    )
+    bits = SK.bloom_bits(members, "v")
+    join_form = {
+        r.v: r.in_bloom for r in SK.bloom_contains(probes, bits, "v").collect()
+    }
+    words = SK.bloom_bitmap(bits)
+    literal_form = {
+        r.v: r.in_bloom
+        for r in SK.bloom_contains_bits(probes, words, "v").collect()
+    }
+    assert join_form == literal_form
+    assert all(join_form[f"m{i}"] for i in range(50))
