@@ -1964,21 +1964,21 @@ def q53_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q54_table_stats",
     oracle="""
     SELECT 'l_returnflag' AS col, count(*) AS n_rows,
-           sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            count(DISTINCT l_returnflag) AS ndv,
            min(CAST(l_returnflag AS VARCHAR)) AS min_s,
            max(CAST(l_returnflag AS VARCHAR)) AS max_s
     FROM lineitem
     UNION ALL
     SELECT 'l_linestatus', count(*),
-           sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT l_linestatus),
            min(CAST(l_linestatus AS VARCHAR)),
            max(CAST(l_linestatus AS VARCHAR))
     FROM lineitem
     UNION ALL
     SELECT 'l_quantity', count(*),
-           sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT l_quantity),
            min(CAST(l_quantity AS VARCHAR)),
            max(CAST(l_quantity AS VARCHAR))
@@ -6090,13 +6090,23 @@ def q124_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic per-round rotation of the driver's correctness window.
 # The driver's gate samples the FIRST 50 entries of queries() each
 # round while the catalog holds 124 — a fixed order would certify the
-# same 50 forever. The committed offset advances by 50 per round
-# (offset = 50*(round-1) mod 124; rounds 1-4 ran at 0), so the
-# driver's own CORRECTNESS artifacts certify the whole catalog across
-# ~3 consecutive rounds: r5 -> q51..q100, r6 -> q101..q124+q01..q26,
-# r7 -> q27..q76, ... The full 124-query local mirror
-# (tools/check.py transcripts) is committed every round regardless.
-DRIVER_WINDOW_OFFSET = 50
+# same 50 forever. Rounds 1-4 ran at offset 0; from round 5 onward the
+# committed offset advances by 50 per round:
+#     offset = (50 * (CATALOG_ROUND - 4)) % 124   for CATALOG_ROUND >= 5
+# so the driver's own CORRECTNESS artifacts certify the whole catalog
+# across ~3 consecutive rounds: r5 -> q51..q100, r6 -> q101..q124+
+# q01..q26, r7 -> q27..q76, ... Both constants MUST be bumped together
+# each round; the assertion below fails the whole import (and thus
+# every test and the driver gate) if one is bumped without the other,
+# so a stale window cannot silently re-certify the same 50 queries.
+# The full 124-query local mirror (tools/check.py transcripts) is
+# committed every round regardless.
+CATALOG_ROUND = 6
+DRIVER_WINDOW_OFFSET = 100
+assert CATALOG_ROUND >= 5 and DRIVER_WINDOW_OFFSET == (50 * (CATALOG_ROUND - 4)) % 124, (
+    "DRIVER_WINDOW_OFFSET is stale: bump CATALOG_ROUND and "
+    "DRIVER_WINDOW_OFFSET together (offset = 50*(round-4) mod 124)"
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -89,7 +89,9 @@ def _solve_single_task(e: DataFrame, schema: str) -> DataFrame:
     (guarded by residual_threshold; this is the standard tail of the
     filtering algorithm, NOT a driver-side collect)."""
 
-    def run(_key, pdf: "pandas.DataFrame") -> "pandas.DataFrame":
+    # No type hints: Spark's applyInPandas tries to resolve them for
+    # eval-type inference and warns on unresolvable string annotations.
+    def run(_key, pdf):
         return _star_edges(pdf[["u", "v"]])
 
     return (
@@ -362,6 +364,7 @@ def pagerank(
     init = scale // n_nodes
     base = (100 - damping_pct) * init // 100
     r = n.select("node", "outdeg", F.lit(init).cast("long").alias("r"))
+    live_caches: list[DataFrame] = []
     for it in range(iterations):
         rsrc = r.filter(F.col("outdeg").isNotNull()).select(
             F.col("node").alias("src"),
@@ -398,6 +401,18 @@ def pagerank(
             and (it + 1) < iterations
         ):
             r = materialize(r)
+            # The checkpoint FORCED computation, so every per-round
+            # cache filled and is now dead (future rounds depend only
+            # on the materialized r). Release them here — otherwise a
+            # long run accumulates iterations-many node-sized tables in
+            # storage memory and leans on LRU eviction. The lazy
+            # persists between checkpoints CANNOT be dropped earlier:
+            # their cache fills only at action time, and unpersisting
+            # pre-action would re-expand the shared rank subtree
+            # (3 consumers/round) into exponential recompute.
+            for cached in live_caches:
+                cached.unpersist(blocking=False)
+            live_caches.clear()
         elif it + 1 < iterations:
             # LAZY per-round persist (no forcing action): the rank
             # vector has three consumers next round (contribution
@@ -410,6 +425,7 @@ def pagerank(
             # does exactly this with its rank RDD). First touch fills
             # the cache inside the SAME action; no per-round job.
             r = r.persist()
+            live_caches.append(r)
     return r.select("node", F.col("r").alias("rank"))
 
 

@@ -289,7 +289,17 @@ def ngram_jaccard_pairs(
     then skipped entirely, so a pipeline that needs document
     frequencies anyway (boilerplate ratios, IDF) pays for ONE window
     and shares it with the pairing cap."""
+    if doc_freq_col is not None and not pre_hashed:
+        raise ValueError(
+            "doc_freq_col requires pre_hashed=True: the shortcut reads the "
+            "caller-built digest column 'sh', which raw shingle tables lack"
+        )
     if exact:
+        if max_shingle_freq not in (None, DEFAULT_MAX_SHINGLE_FREQ):
+            raise ValueError(
+                "exact=True disables the frequency cap; passing an explicit "
+                "max_shingle_freq alongside it is contradictory"
+            )
         max_shingle_freq = None
     has_size = "sz" in shingle_df.columns and max_shingle_freq is None
     if pre_hashed:

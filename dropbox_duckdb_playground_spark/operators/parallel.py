@@ -98,7 +98,8 @@ def map_grouped(
     when the partition key was semantic, e.g. parallize.py:169-179
     group-iterate A7). One hash shuffle on ``keys``."""
 
-    def run(pdf: "pandas.DataFrame") -> "pandas.DataFrame":
+    # No type hints: applyInPandas warns on unresolvable string annotations.
+    def run(pdf):
         return fn(pdf)
 
     return df.groupBy(*keys).applyInPandas(run, schema)
