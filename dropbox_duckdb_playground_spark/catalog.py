@@ -3805,6 +3805,12 @@ def q91_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_SCALE = 1_000_000_000_000
 
+# q95: max distinct bench values collected to the driver for the
+# literal-bitmap fast path (~tens of MB of short strings). Beyond it
+# the query switches to the join-form Bloom filter, which never
+# collects the member set at all.
+_BLOOM_DRIVER_COLLECT_CAP = 1_000_000
+
 
 def _pagerank_oracle(iterations: int = 3) -> str:
     """Unrolled integer-PageRank CTE chain mirroring operators.
@@ -4122,9 +4128,11 @@ def q95_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions (Kirsch-Mitzenmacher double hashing — ONE md5 per
     shingle, k derived positions) make the filter itself
     hash-checkable across engines. TWO jobs total: one job collects
-    the distinct bench shingle set (bench-suite-sized by definition —
-    the bounded side of any decontamination run, and exactly what
-    single-node decontamination tooling holds in memory), the driver
+    the distinct bench shingle set UNDER A HARD DRIVER-SIDE CAP
+    (``_BLOOM_DRIVER_COLLECT_CAP``; this query derives the "bench
+    suite" as a corpus slice, so its volume grows with SF — past the
+    cap the query switches to the join-form filter below and nothing
+    unbounded reaches the driver), the driver
     derives the bitmap from it in pure Python
     (``bloom_bitmap_from_values``, bit-identical md5 positions pinned
     by a parity test), and the probe job makes one narrow pass over
@@ -4135,25 +4143,37 @@ def q95_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     than recomputing the narrow pipeline (same result as q120's
     digest-reuse note: a 2M-string-row cache re-scan loses to
     compute)."""
+    from dropbox_duckdb_playground_spark.materialize import materialize
     from dropbox_duckdb_playground_spark.operators import sketches as SK
 
     d = load(spark, sf_dir, "documents")
     sh = D.shingles(d, n=3)
+    bench_distinct = sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+    # Driver-side size guard: the bench side is a fixed benchmark SUITE
+    # in a real decontamination run, but THIS query derives it as a
+    # corpus slice (doc_id % 50), so its distinct-shingle volume grows
+    # with scale factor. limit(cap+1) bounds the collect (one row over
+    # the cap proves overflow without counting); past the cap the query
+    # falls back to the join-form filter — bloom_bits (<= m rows by
+    # construction) + broadcast bit join — and a Spark-side broadcast
+    # exact join, so NOTHING unbounded ever lands on the driver.
     bench_vals = [
         row[0]
-        for row in sh.filter(F.col("doc_id") % 50 == 0)
-        .select("shingle")
-        .distinct()
-        .collect()
+        for row in bench_distinct.limit(_BLOOM_DRIVER_COLLECT_CAP + 1).collect()
     ]
-    words = SK.bloom_bitmap_from_values(bench_vals)
     train = sh.filter(F.col("doc_id") % 50 != 0)
-    flags = SK.bloom_contains_bits(train, words, "shingle")
-    exact = F.broadcast(
-        spark.createDataFrame(
-            [(v,) for v in bench_vals], schema="shingle string"
-        ).withColumn("__hit__", F.lit(1))
-    )
+    if len(bench_vals) <= _BLOOM_DRIVER_COLLECT_CAP:
+        words = SK.bloom_bitmap_from_values(bench_vals)
+        flags = SK.bloom_contains_bits(train, words, "shingle")
+        exact = F.broadcast(
+            spark.createDataFrame(
+                [(v,) for v in bench_vals], schema="shingle string"
+            ).withColumn("__hit__", F.lit(1))
+        )
+    else:
+        bench_m = materialize(bench_distinct)
+        flags = SK.bloom_contains(train, SK.bloom_bits(bench_m, "shingle"), "shingle")
+        exact = F.broadcast(bench_m.withColumn("__hit__", F.lit(1)))
     return (
         flags.join(exact, "shingle", "left")
         .groupBy("doc_id")

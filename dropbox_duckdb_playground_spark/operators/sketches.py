@@ -286,22 +286,28 @@ def bloom_contains_bits(
     # (F.array of F.lit per word) costs ~2000 py4j round trips ≈ 1.5s
     # of pure driver-side plan-construction latency per query (the
     # same effect documented at dedup.simhash) — a single SQL string
-    # parses JVM-side in milliseconds.
+    # parses JVM-side in milliseconds. The plan is built in FOUR
+    # select passes (not a withColumn chain): every withColumn
+    # re-analyzes the whole projection, and dragging the 1024-literal
+    # array through 7 eager analyses measured ~0.25s of pure
+    # driver-side latency per call; here the array literal exists in
+    # exactly one projection.
     arr_sql = "array(" + ",".join(f"{w}L" for w in signed) + ")"
-    out = probe.withColumn("__bfarr__", F.expr(arr_sql)).withColumn(
-        "__bfh__", _phash(F.col(col), "bf:")
-    )
-    for i, p in enumerate(_bloom_positions(F.col("__bfh__"))):
-        out = out.withColumn(f"__bfp{i}__", p)
+    cols = probe.columns
+    s1 = probe.select("*", _phash(F.col(col), "bf:").alias("__bfh__"))
+    pos_cols = [
+        p.alias(f"__bfp{i}__")
+        for i, p in enumerate(_bloom_positions(F.col("__bfh__")))
+    ]
+    s2 = s1.select(*cols, *pos_cols)
+    s3 = s2.select("*", F.expr(arr_sql).alias("__bfarr__"))
     cond = " AND ".join(
         f"((shiftrightunsigned(element_at(__bfarr__, "
         f"CAST(__bfp{i}__ div 64 AS INT) + 1), "
         f"CAST(__bfp{i}__ % 64 AS INT)) & 1) = 1)"
         for i in range(BLOOM_K)
     )
-    return out.withColumn("in_bloom", F.expr(cond)).drop(
-        "__bfarr__", "__bfh__", *[f"__bfp{i}__" for i in range(BLOOM_K)]
-    )
+    return s3.select(*cols, F.expr(cond).alias("in_bloom"))
 
 
 def histogram_quantiles(

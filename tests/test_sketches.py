@@ -215,3 +215,24 @@ def test_countmin_weighted_equals_stream(spark):
         for r in SK.countmin_cells(tf, "tok", weight="w").collect()
     }
     assert cells_stream == cells_weighted
+
+
+def test_q95_driver_cap_fallback_matches_literal_path(spark, sf_dir, monkeypatch):
+    """Past _BLOOM_DRIVER_COLLECT_CAP, q95 must switch to the join-form
+    Bloom filter (bloom_bits + broadcast bit join; nothing unbounded
+    collected to the driver) and produce EXACTLY the rows of the
+    literal-bitmap fast path."""
+    from dropbox_duckdb_playground_spark import catalog as C
+
+    fast = {
+        tuple(r) for r in C.REGISTRY["q95_bloom_contamination"].fn(
+            spark, sf_dir
+        ).collect()
+    }
+    monkeypatch.setattr(C, "_BLOOM_DRIVER_COLLECT_CAP", 1)
+    slow = {
+        tuple(r) for r in C.REGISTRY["q95_bloom_contamination"].fn(
+            spark, sf_dir
+        ).collect()
+    }
+    assert fast == slow and fast
