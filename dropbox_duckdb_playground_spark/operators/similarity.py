@@ -20,24 +20,41 @@ from dropbox_duckdb_playground_spark.materialize import materialize
 from dropbox_duckdb_playground_spark.operators.dedup import _hex60
 
 
-def _dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def _norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(
-            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Float64 dot product. With ``dim`` known, the sum is UNROLLED into
+    a flat left-associated expression — ``((0.0 + t1) + t2) + ...`` —
+    the exact fold order of the ``F.aggregate`` path and of DuckDB's
+    ``list_aggregate('sum')``, so values stay bit-identical while the
+    arithmetic runs inside whole-stage codegen. The higher-order-
+    function fold is NOT codegen'd (Catalyst interprets lambda
+    expressions per element), which measured ~10x slower on the
+    brute-force kNN pair loop (q91 at sf1: 77s -> see NOTES_r6)."""
+    if dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-    )
+    acc: Column = F.lit(0.0)
+    for i in range(1, dim + 1):
+        acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
+            "double"
+        )
+    return acc
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+def _norm(a: Column, dim: int | None = None) -> Column:
+    if dim is None:
+        return F.sqrt(
+            F.aggregate(
+                a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+            )
+        )
+    return F.sqrt(_dot(a, a, dim))
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
 
 
 def cosine_topk(
@@ -46,24 +63,40 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (brute force).
 
     Output: (query_id, cand_id, cosine) with deterministic ordering
     (rounded score desc, cand_id asc). Scale: broadcast the query set;
     the scan over candidates is embarrassingly parallel; per-query top-k
-    is a single shuffle on query_id (rank-1..k window)."""
+    is a single shuffle on query_id (rank-1..k window).
+
+    Pass ``dim`` when the embedding width is known: norms are then
+    computed ONCE PER ROW on each join side instead of once per pair
+    (the |Q| x |C| nested-loop join multiplies every per-pair expression
+    by the pair count), and the dot product unrolls into codegen'd
+    arithmetic (see ``_dot``). Values are bit-identical either way."""
     from dropbox_duckdb_playground_spark.operators.relational import fan_out
 
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col), dim).alias("__qn__"),
     )
     c = fan_out(embeddings).select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col), dim).alias("__cn__"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"), dim)
+                / (F.col("__qn__") * F.col("__cn__")),
+                4,
+            ),
+        )
         .select("query_id", "cand_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
@@ -123,15 +156,24 @@ def lsh_ann_topk(
     sig = hyperplane_signature(F.col(vec_col), dim, planes)
     embeddings = fan_out(embeddings)
     c = embeddings.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"), sig.alias("bucket")
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"), sig.alias("bucket"),
+        _norm(F.col(vec_col), dim).alias("__cn__"),
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), sig.alias("bucket")
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), sig.alias("bucket"),
+        _norm(F.col(vec_col), dim).alias("__qn__"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"), dim)
+                / (F.col("__qn__") * F.col("__cn__")),
+                4,
+            ),
+        )
         .select("query_id", "cand_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
@@ -166,8 +208,11 @@ def cosine_neardup_pairs(
     # identical subplans + forced sort-merge join -> exchanges
     # canonicalize equal and the signature pass runs ONCE
     # (ReusedExchange), no materialize barrier; SMJ spills on skew
+    # per-row norm rides the shared bucket exchange (ReusedExchange), so
+    # it is computed once per vector, not once per candidate pair
     c = fan_out(embeddings).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("bucket")
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("bucket"),
+        _norm(F.col(vec_col), dim).alias("nrm"),
     )
     l, r = c.alias("l"), c.hint("merge").alias("r")
     return (
@@ -175,7 +220,11 @@ def cosine_neardup_pairs(
         .select(
             F.col("l.id").alias("a_id"),
             F.col("r.id").alias("b_id"),
-            F.round(cosine(F.col("l.vec"), F.col("r.vec")), 4).alias("cosine"),
+            F.round(
+                _dot(F.col("l.vec"), F.col("r.vec"), dim)
+                / (F.col("l.nrm") * F.col("r.nrm")),
+                4,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -284,6 +333,7 @@ def ivf_ann_topk(
     seed: int = 42,
     n_vecs: int | None = None,
     stage_dir: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: spherical k-means coarse quantizer
     (``ivf_assign``) -> per-centroid posting lists -> probe the
@@ -305,7 +355,7 @@ def ivf_ann_topk(
     # nearest nprobe centroids per query (centroid table is tiny: nlist rows)
     probed = (
         q.join(F.broadcast(cent_df))
-        .withColumn("cdist", cosine(F.col("q_vec"), F.col("centroid")))
+        .withColumn("cdist", cosine(F.col("q_vec"), F.col("centroid"), dim))
         .withColumn(
             "__rn__",
             F.row_number().over(
@@ -318,7 +368,7 @@ def ivf_ann_topk(
     scored = (
         assigned.join(F.broadcast(probed), "list_id")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4))
+        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec"), dim), 4))
         .select("query_id", "cand_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
