@@ -881,7 +881,7 @@ def q27_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q28_cosine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    return cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5, dim=64)
+    return cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
 # ---------------------------------------------------------------------------
@@ -2345,7 +2345,6 @@ def q62_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         nlist=8,
         nprobe=2,
         stage_dir=_IVF_STAGE,
-        dim=64,
     )
 
 
@@ -3790,7 +3789,7 @@ def q91_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     a deterministic (votes DESC, label ASC) tie-break."""
     e = load(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") % 20 == 0)
-    nn = cosine_topk(e, q, k=10, dim=64)  # (query_id, cand_id, cosine)
+    nn = cosine_topk(e, q, k=10)  # (query_id, cand_id, cosine)
     labels = e.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label"))
     tally = (
         nn.join(labels, "cand_id")

@@ -20,41 +20,36 @@ from dropbox_duckdb_playground_spark.materialize import materialize
 from dropbox_duckdb_playground_spark.operators.dedup import _hex60
 
 
-def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Float64 dot product. With ``dim`` known, the sum is UNROLLED into
-    a flat left-associated expression — ``((0.0 + t1) + t2) + ...`` —
-    the exact fold order of the ``F.aggregate`` path and of DuckDB's
-    ``list_aggregate('sum')``, so values stay bit-identical while the
-    arithmetic runs inside whole-stage codegen. The higher-order-
-    function fold is NOT codegen'd (Catalyst interprets lambda
-    expressions per element), which measured ~10x slower on the
-    brute-force kNN pair loop (q91 at sf1: 77s -> see NOTES_r6)."""
-    if dim is None:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+def _dot(a: Column, b: Column) -> Column:
+    """Float64 dot product via the sequential HOF fold — the same
+    accumulation order as DuckDB's ``list_aggregate('sum')``, so values
+    are bit-identical across engines.
+
+    Measured note (round 6): unrolling this into ``dim`` flat
+    element_at terms looked like a codegen win but LOST in both
+    regimes — whole-stage codegen pays ~1.6s of janino compilation per
+    fresh plan for the giant generated function (the codegen cache
+    misses on every rebuilt plan), while the fold's per-pair cost is
+    modest once norms are hoisted out of the pair loop (see
+    ``cosine_topk``). q91 at sf1: 77s with per-pair norms -> 15s
+    unrolled -> 2.2s with the fold + hoisted norms."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
         )
-    acc: Column = F.lit(0.0)
-    for i in range(1, dim + 1):
-        acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
-            "double"
-        )
-    return acc
+    )
 
 
-def _norm(a: Column, dim: int | None = None) -> Column:
-    if dim is None:
-        return F.sqrt(
-            F.aggregate(
-                a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
-            )
-        )
-    return F.sqrt(_dot(a, a, dim))
-
-
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    return _dot(a, b, dim) / (_norm(a, dim) * _norm(b, dim))
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
 
 
 def cosine_topk(
@@ -63,7 +58,6 @@ def cosine_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector (brute force).
 
@@ -72,27 +66,27 @@ def cosine_topk(
     the scan over candidates is embarrassingly parallel; per-query top-k
     is a single shuffle on query_id (rank-1..k window).
 
-    Pass ``dim`` when the embedding width is known: norms are then
-    computed ONCE PER ROW on each join side instead of once per pair
-    (the |Q| x |C| nested-loop join multiplies every per-pair expression
-    by the pair count), and the dot product unrolls into codegen'd
-    arithmetic (see ``_dot``). Values are bit-identical either way."""
+    Norms are computed ONCE PER ROW on each join side instead of once
+    per pair: the |Q| x |C| nested-loop join multiplies every per-pair
+    expression by the pair count, and the two per-pair norm folds were
+    ~97% of q91's sf1 wall (77s -> 2.2s). Values are bit-identical
+    (the per-pair division sees identical operands)."""
     from dropbox_duckdb_playground_spark.operators.relational import fan_out
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col), dim).alias("__qn__"),
+        _norm(F.col(vec_col)).alias("__qn__"),
     )
     c = fan_out(embeddings).select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col), dim).alias("__cn__"),
+        _norm(F.col(vec_col)).alias("__cn__"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id"))
         .withColumn(
             "cosine",
             F.round(
-                _dot(F.col("q_vec"), F.col("c_vec"), dim)
+                _dot(F.col("q_vec"), F.col("c_vec"))
                 / (F.col("__qn__") * F.col("__cn__")),
                 4,
             ),
@@ -157,11 +151,11 @@ def lsh_ann_topk(
     embeddings = fan_out(embeddings)
     c = embeddings.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"), sig.alias("bucket"),
-        _norm(F.col(vec_col), dim).alias("__cn__"),
+        _norm(F.col(vec_col)).alias("__cn__"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), sig.alias("bucket"),
-        _norm(F.col(vec_col), dim).alias("__qn__"),
+        _norm(F.col(vec_col)).alias("__qn__"),
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -169,7 +163,7 @@ def lsh_ann_topk(
         .withColumn(
             "cosine",
             F.round(
-                _dot(F.col("q_vec"), F.col("c_vec"), dim)
+                _dot(F.col("q_vec"), F.col("c_vec"))
                 / (F.col("__qn__") * F.col("__cn__")),
                 4,
             ),
@@ -212,7 +206,7 @@ def cosine_neardup_pairs(
     # it is computed once per vector, not once per candidate pair
     c = fan_out(embeddings).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("bucket"),
-        _norm(F.col(vec_col), dim).alias("nrm"),
+        _norm(F.col(vec_col)).alias("nrm"),
     )
     l, r = c.alias("l"), c.hint("merge").alias("r")
     return (
@@ -221,7 +215,7 @@ def cosine_neardup_pairs(
             F.col("l.id").alias("a_id"),
             F.col("r.id").alias("b_id"),
             F.round(
-                _dot(F.col("l.vec"), F.col("r.vec"), dim)
+                _dot(F.col("l.vec"), F.col("r.vec"))
                 / (F.col("l.nrm") * F.col("r.nrm")),
                 4,
             ).alias("cosine"),
@@ -333,7 +327,6 @@ def ivf_ann_topk(
     seed: int = 42,
     n_vecs: int | None = None,
     stage_dir: str | None = None,
-    dim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: spherical k-means coarse quantizer
     (``ivf_assign``) -> per-centroid posting lists -> probe the
@@ -355,7 +348,7 @@ def ivf_ann_topk(
     # nearest nprobe centroids per query (centroid table is tiny: nlist rows)
     probed = (
         q.join(F.broadcast(cent_df))
-        .withColumn("cdist", cosine(F.col("q_vec"), F.col("centroid"), dim))
+        .withColumn("cdist", cosine(F.col("q_vec"), F.col("centroid")))
         .withColumn(
             "__rn__",
             F.row_number().over(
@@ -368,7 +361,7 @@ def ivf_ann_topk(
     scored = (
         assigned.join(F.broadcast(probed), "list_id")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec"), dim), 4))
+        .withColumn("cosine", F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4))
         .select("query_id", "cand_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
