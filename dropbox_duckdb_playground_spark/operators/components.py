@@ -400,6 +400,7 @@ def pagerank(
             and (it + 1) % checkpoint_every == 0
             and (it + 1) < iterations
         ):
+            prev = r
             r = materialize(r)
             # The checkpoint FORCED computation, so every per-round
             # cache filled and is now dead (future rounds depend only
@@ -409,10 +410,14 @@ def pagerank(
             # persists between checkpoints CANNOT be dropped earlier:
             # their cache fills only at action time, and unpersisting
             # pre-action would re-expand the shared rank subtree
-            # (3 consumers/round) into exponential recompute.
-            for cached in live_caches:
-                cached.unpersist(blocking=False)
-            live_caches.clear()
+            # (3 consumers/round) into exponential recompute. Under
+            # mode 'none' materialize() is a pass-through (same object,
+            # nothing forced, lineage uncut): the caches are still
+            # unfilled AND still live — keep them.
+            if r is not prev:
+                for cached in live_caches:
+                    cached.unpersist(blocking=False)
+                live_caches.clear()
         elif it + 1 < iterations:
             # LAZY per-round persist (no forcing action): the rank
             # vector has three consumers next round (contribution

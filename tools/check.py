@@ -4,6 +4,22 @@ Runs every catalog query on Spark and its oracle on DuckDB at the given
 scale factor; compares row count, column names, and an order-insensitive
 value hash (rows sorted, columns sorted by name, values stringified).
 
+DRIVER-FAITHFUL since round 7 — two divergences from the driver's
+protocol masked a combined 4 driver reds across rounds 5-6 (q54 via the
+%.12g HUGEINT split, q115/q117 via unsortable array cells, q124 via the
+ANSI divide-by-zero), so this mirror now reproduces both:
+
+1. Canonicalization performs a TYPED pandas ``sort_values`` over every
+   column first (the driver's ``_canon`` does exactly this), so any
+   output whose cells pandas cannot sort — top-level arrays/maps, mixed
+   object types — fails HERE the same way it fails THERE. The
+   order-insensitive hash afterwards still string-sorts, so residual tie
+   order between engines cannot flip the digest.
+2. The Spark session runs with ``spark.sql.ansi.enabled=true`` — the
+   driver's session is ANSI-on (Spark 4 default), while the package
+   session defaults ANSI-off to match DuckDB's permissive casts. A
+   query must be green under BOTH; this mirror checks the strict one.
+
 Usage: python tools/check.py [sf_dir] [query ...]
 """
 
@@ -42,6 +58,11 @@ def norm_cell(v) -> str:
 def frame_digest(pdf) -> tuple[int, list[str], str]:
     cols = sorted(pdf.columns)
     pdf = pdf[cols]
+    if len(pdf):
+        # Driver-faithful step: typed sort over all columns. This is
+        # where the driver's _canon throws "unhashable type: 'list'" on
+        # array cells (r6 q115/q117) — it must throw here too.
+        pdf = pdf.sort_values(by=cols, kind="mergesort").reset_index(drop=True)
     rows = ["\x1f".join(norm_cell(v) for v in row) for row in pdf.itertuples(index=False)]
     rows.sort()
     h = hashlib.md5("\x1e".join(rows).encode()).hexdigest()
@@ -60,6 +81,10 @@ def main() -> int:
     from dropbox_duckdb_playground_spark.session import get_spark
 
     spark = get_spark("check")
+    # Driver-faithful step: the driver's session is ANSI-on (Spark 4
+    # default); the package default is ANSI-off for DuckDB-permissive
+    # parity. Queries must be green under both — mirror the strict one.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
 
     con = duckdb.connect()
     for t in TABLES:
