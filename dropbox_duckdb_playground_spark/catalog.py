@@ -1101,7 +1101,10 @@ def q34_er_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     df <= 8 cap (DOC_CLUSTER_CTES), so the clustering decision is
     hash-checked end to end."""
     d = load(spark, sf_dir, "documents")
-    sh = D.shingles(d, n=3, with_size=True)
+    # no with_size: capped pairing recomputes sizes post-filter and
+    # drops the column — carrying it defeats array pruning through the
+    # explode (measured +2.4s at sf1, see ngram_jaccard_pairs notes)
+    sh = D.shingles(d, n=3)
     pairs = D.ngram_jaccard_pairs(sh, threshold=0.2)
     # CC runs on the (small) matched-pair edge set only; unmatched docs
     # become singletons via the left join — identical labels, and the
@@ -1477,7 +1480,7 @@ def q43_flagship_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # 3. E4-E7: resolve near-duplicate documents into clusters (the same
     #    operator chain q34 checks in isolation)
-    pairs = D.ngram_jaccard_pairs(D.shingles(docs, n=3, with_size=True), threshold=0.2)
+    pairs = D.ngram_jaccard_pairs(D.shingles(docs, n=3), threshold=0.2)
     labels = connected_components(
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     )
@@ -1684,7 +1687,7 @@ def q47_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     of documents it absorbed. q34 labels every doc; this is the
     downstream 'remove' step a training pipeline actually ships."""
     d = load(spark, sf_dir, "documents")
-    sh = D.shingles(d, n=3, with_size=True)
+    sh = D.shingles(d, n=3)  # capped pairing: sz would be dropped
     pairs = D.ngram_jaccard_pairs(sh, threshold=0.2)
     return D.neardup_survivors(d, pairs).select(
         "cluster_id", "doc_id", "n_absorbed"
@@ -2460,7 +2463,7 @@ def q64_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear when the shingle space saturates (see SCALING.md sf1 rows).
     Jaccard is computed over the capped shingle sets on both engines."""
     d = load(spark, sf_dir, "documents")
-    sh = D.shingles(d, n=3, with_size=True)
+    sh = D.shingles(d, n=3)  # capped pairing: sz would be dropped
     return D.ngram_jaccard_pairs(sh, threshold=0.2, max_shingle_freq=3)
 
 
@@ -3983,25 +3986,34 @@ def q93_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     key columns — a sketch whose ESTIMATE is itself oracle-checkable
     because every degree of freedom (portable md5 hash, integer-shift
     register sums, one final double division) is pinned (sketches.py).
-    Each key column is reduced to its DISTINCT value set first — one
-    single-long-column scan per key (columnar pruning makes the three
-    scans read the same total bytes as one 3-column scan, and per-column
-    map-side partial distinct keeps each shuffle at the column's own
-    cardinality instead of 3x the row count). The portable md5 hash
-    (the expensive engine-reproducible step) then runs on distinct
-    values only — duplicates hash identically, so the max-rho registers
-    are bit-identical while md5 runs on ~10% of the raw rows at sf0.1
-    (and less at scale, where key columns repeat more). The exact
-    counts are a groupBy count over the SAME distinct table, so no
-    second count-distinct pass exists anywhere in the plan."""
-    from dropbox_duckdb_playground_spark.materialize import pin
+
+    ADJUDICATED STOP (r7, tools/decompose_q93.py at sf0.1, this plan
+    1.45s on the measuring host): the r6 "md5 parity tax" hypothesis
+    is REFUTED as the dominant term — xxhash64 registers save only
+    0.12s of 1.64s (7%), and a hash-FREE variant still ran 1.41s, so
+    ~95% of the gap vs the 0.10s oracle is local-mode stage floor
+    (AQE runs each of the ~14 stages as its own job), not portable
+    hashing. Four restructures were then measured and all LOST:
+    single 3x-exploded scan with struct tags 4.8s; posexplode + long
+    tags 4.8s; + fan_out 2.2s; exact-counts-from-bucket-counts (drop
+    pin, sum cnt off the register table) 2.1-2.5s — the bucket table's
+    two consumers (broadcast + aggregate) do not share an exchange, so
+    that "saving" recomputes or re-syncs the whole distinct subtree.
+    The r6 shape below (3 concurrent single-column distinct branches,
+    pinned union, registers + exact counts as its two consumers) is
+    the measured optimum; at real SF the floor amortizes away."""
     from dropbox_duckdb_playground_spark.operators import sketches as SK
 
     li = load(spark, sf_dir, "lineitem")
     cols = ("l_orderkey", "l_partkey", "l_suppkey")
 
-    # stage 1: per-column distinct (pruned single-column scans), tagged
-    # and unioned into one (col_name, v) table
+    # stage 1: per-column distinct (pruned single-column scans, three
+    # independent branches the scheduler runs CONCURRENTLY — measured
+    # faster at sf0.1 than one 3x-exploded scan, whose partial distinct
+    # became a straggler task even behind a fan_out), tagged and
+    # unioned into one (col_name, v) table
+    from dropbox_duckdb_playground_spark.materialize import pin
+
     vals = None
     for c in cols:
         dc = (
@@ -4012,7 +4024,8 @@ def q93_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         vals = dc if vals is None else vals.unionAll(dc)
     vals = pin(vals)  # two consumers: HLL registers + exact counts
 
-    # stage 2: portable hash on distinct values only
+    # stage 2: portable hash on distinct values only; ONE aggregate
+    # produces registers (max rho) and per-bucket distinct counts
     h = SK._phash(F.col("v").cast("string"), "hll:")
     w = F.shiftright(h, 6)  # h div 64, h is a nonneg 60-bit value
     exploded = vals.select(

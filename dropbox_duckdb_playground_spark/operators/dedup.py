@@ -82,7 +82,12 @@ def shingles(
     ``with_size=True`` additionally carries the per-doc distinct-shingle
     count ``sz`` on every exploded row — computed in-row BEFORE the
     explode, so consumers that need |A| (Jaccard) get it for free
-    instead of re-aggregating the shingle table."""
+    instead of re-aggregating the shingle table. Request it ONLY when
+    the consumer actually uses ``sz`` (uncapped exact Jaccard): the
+    size expression keeps the full ngram array alive through the
+    Generate, and Catalyst does not prune it even if a downstream
+    select drops ``sz`` — measured +2.4s at sf1 on the capped path,
+    which recomputes sizes post-filter anyway."""
     from pyspark.ml.feature import NGram
 
     src = fan_out(df).select(
@@ -313,6 +318,11 @@ def ngram_jaccard_pairs(
         hashed = shingle_df.select(*cols)
     if max_shingle_freq is not None:
         if doc_freq_col is not None:
+            # caller-computed frequency column: the CALLER owns the
+            # window and its sharing strategy (q120 shares the same
+            # window output with sibling branches through one
+            # sh-exchange) — adding a barrier here would sever that
+            # reuse and re-pay the window (measured +0.4s on q120).
             hashed = (
                 shingle_df.filter(F.col(doc_freq_col) <= max_shingle_freq)
                 .select(F.col(key), F.col("sh"))
@@ -325,16 +335,25 @@ def ngram_jaccard_pairs(
                 .filter(F.col("__df__") <= max_shingle_freq)
                 .drop("__df__")
             )
-        # capped sizes via a post-aggregation join, NOT a second window:
-        # a count() window over ``key`` would re-shuffle the whole
-        # shingle table AND break the sh-partitioning the self-join
-        # inherits for free from the cap window (window output keeps
-        # its child's hash(sh) partitioning, so the join adds NO new
-        # exchange). The sizes table is doc-count-sized and joins onto
+            # MATERIALIZE the cap-filtered table before fanning out
+            # (r7, measured): ReusedExchange dedups only the
+            # sh-EXCHANGE below the cap window — the WindowExec itself
+            # (which sorts its partition by sh) re-executes per
+            # consumer, and the capped table has three (both join
+            # sides + the sizes aggregate), so the un-barriered plan
+            # paid the window sort 3x. Cutting here runs the
+            # shingle+digest+window pass ONCE and the consumers read
+            # stored blocks: q64 at sf1 4.4s -> 1.8s, at sf0.1
+            # 1.9s -> 1.3s. At cluster scale the checkpoint write is
+            # one table-sized IO — the same order as the exchange it
+            # already pays — and strictly cheaper than re-sorting the
+            # table twice more.
+            hashed = materialize(hashed)
+        # Capped sizes via a post-aggregation join, NOT a second
+        # window over ``key`` (which would re-shuffle the whole
+        # table); the sizes table is doc-count-sized and joins onto
         # the (a_id, b_id) pair aggregate, which under the cap is far
-        # smaller than the shingle table. All three consumers (join
-        # sides, sizes) reach the cap window through one canonicalized
-        # sh-exchange (ReusedExchange) — no materialize barrier.
+        # smaller than the shingle table.
         sizes = hashed.groupBy(key).agg(F.count("*").alias("sz"))
         has_size = False
     elif not has_size:
@@ -345,9 +364,14 @@ def ngram_jaccard_pairs(
     # ONCE (ReusedExchange). Left to AQE, a broadcast join looks cheaper
     # (no shuffle) but silently recomputes the expensive shingling on
     # both sides — and at 100 TB the shingle table could never be
-    # broadcast anyway. Sort-merge (not shuffle-hash) so a hot-digest
-    # partition spills instead of OOMing the hash build.
-    l, r = hashed.alias("l"), hashed.hint("merge").alias("r")
+    # broadcast anyway. Join exec depends on the cap: CAPPED runs use
+    # shuffle-hash — stop-shingle removal bounds every digest at
+    # ``max_shingle_freq`` rows, so no partition can hold a hot-key
+    # build side and the SMJ sort of both sides is pure waste (measured
+    # at sf1: 5.3s -> see q64 NOTES); UNCAPPED (exact=True) keeps
+    # sort-merge so a hot digest spills instead of OOMing the build.
+    join_exec = "shuffle_hash" if max_shingle_freq is not None else "merge"
+    l, r = hashed.alias("l"), hashed.hint(join_exec).alias("r")
     joined = l.join(
         r, (F.col("l.sh") == F.col("r.sh")) & (F.col(f"l.{key}") < F.col(f"r.{key}"))
     )
