@@ -261,26 +261,21 @@ def main() -> int:
         "runs the explosion query within 2x of the single-node baseline. Real",
         "corpora keep vocab growing with size. For corpora that do",
         "saturate (boilerplate), the production guards are the hot-key",
-        "caps — measured at sf1: q64_jaccard_capped (max_shingle_freq)",
-        "~4.4s, q65_lsh_capped (max_bucket_size) ~2.8s — both",
-        "oracle-checked catalog queries in their own right.",
+        "caps — measured at sf1 (r7 code): q64_jaccard_capped",
+        "(max_shingle_freq) ~1.8s, q65_lsh_capped (max_bucket_size)",
+        "~2.1s — both oracle-checked catalog queries in their own right.",
         "",
-        "### q43 flagship sf1 stage profile",
+        "### q43 flagship: capped since round 6",
         "",
-        "q43's sf1 slope is NOT a plan defect in the pipeline glue:",
-        "profiled per stage at sf1 (round 4), the unbounded",
-        "`ngram_jaccard_pairs` ER-pairing stage is >90% of the wall",
-        "time, while the downstream stages stay small and linear —",
-        "connected components over the matched pairs ~2s (the",
-        "single-task union-find fast path still applies: matched pairs",
-        "are sparse even when CANDIDATE pairs explode), and the whole",
-        "event-side tabularize->semi-join->fused-aggregate ~2.4s. So",
-        "q43 inherits exactly q26's documented data-inherent quadratic",
-        "through its ER stage, and the same production answer applies:",
-        "swap the pairing stage for the capped q64/q65 variants on",
-        "saturating corpora and the flagship scales linearly like its",
-        "other stages. Kept unbounded here because the oracle replays",
-        "the exact-Jaccard clustering decision.",
+        "q43's ER-pairing stage runs the DEFAULT frequency-capped",
+        "pairing (max_shingle_freq, mirrored in its oracle) since",
+        "round 6, so the flagship no longer inherits q26's",
+        "data-inherent quadratic: its sf1 slope1000 is in the table",
+        "above (linear-or-better). The historical round-4 stage",
+        "profile (uncapped pairing >90% of wall time; CC over matched",
+        "pairs ~2s; event-side tabularize->semi-join->aggregate ~2.4s)",
+        "is what motivated the cap-by-default switch — only q26 keeps",
+        "exact=True, as the annotated measurement baseline.",
     ]
     with open(out_md, "w") as f:
         f.write("\n".join(lines) + "\n")
