@@ -148,7 +148,8 @@ def lsh_candidate_pairs(
     The self-join's two sides are the same subplan forced to a
     sort-merge join, so their shuffle exchanges canonicalize equal and
     the minhash pipeline executes ONCE (ReusedExchange) — no
-    materialize barrier; SMJ (not shuffle-hash) so a skewed partition
+    materialize barrier even in the capped path (measured r7: see the
+    inline comment); SMJ (not shuffle-hash) so a skewed partition
     spills instead of OOMing the build at cluster scale."""
     rows_per_band = num_perm // bands
     band_cols = []
@@ -167,6 +168,14 @@ def lsh_candidate_pairs(
             .filter(F.col("__bsz__") <= max_bucket_size)
             .drop("__bsz__")
         )
+        # NO barrier here, unlike the capped Jaccard path (r7,
+        # measured): the window's duplicated re-execution per join
+        # side is only a sort of the SMALL bucket-key table (docs x
+        # bands rows — the expensive minhash aggregate sits below the
+        # window's exchange and runs once), and the materialize sync
+        # job cost exactly offset the saved sort (sf1 1.73s -> 1.82s,
+        # sf0.1 slightly worse). ngram_jaccard_pairs cuts because its
+        # window re-sorts the full SHINGLE table per consumer.
     left = buckets.alias("l")
     right = buckets.hint("merge").alias("r")
     return (
@@ -219,6 +228,14 @@ def minhash_estimate_pairs(
             .filter(F.col("__bsz__") <= max_bucket_size)
             .drop("__bsz__")
         )
+        # NO barrier here, unlike the capped Jaccard path (r7,
+        # measured): the window's duplicated re-execution per join
+        # side is only a sort of the SMALL bucket-key table (docs x
+        # bands rows — the expensive minhash aggregate sits below the
+        # window's exchange and runs once), and the materialize sync
+        # job cost exactly offset the saved sort (sf1 1.73s -> 1.82s,
+        # sf0.1 slightly worse). ngram_jaccard_pairs cuts because its
+        # window re-sorts the full SHINGLE table per consumer.
     l, r = buckets.alias("l"), buckets.hint("merge").alias("r")
     matches = sum(
         F.when(F.col(f"l.mh{i}") == F.col(f"r.mh{i}"), 1).otherwise(0)
