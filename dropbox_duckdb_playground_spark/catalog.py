@@ -3214,19 +3214,23 @@ def q79_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q80_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate-span detection (CCNet/RefinedWeb line-dedup family):
     a distinct 3-gram shared by >= 2 documents is boilerplate; each doc
-    reports its boilerplate fraction. The gram-frequency table is built
-    by ONE map-side-combinable groupBy of the shingle explode and joined
-    back on the gram key — at 100 TB the frequency side is
-    distinct-gram-sized (bounded by vocabulary³, not corpus), and the
-    per-doc re-aggregation rides the same doc_id shuffle the explode
-    already created."""
+    reports its boilerplate fraction. The gram document-frequency is a
+    count window over the shingle partition instead of the r6
+    aggregate+self-join form (measured 1.08s -> 0.96s at sf0.1): the
+    window has exactly ONE consumer here (the per-doc aggregate), so
+    the per-consumer WindowExec re-execution trap that bit the capped
+    Jaccard path doesn't apply, and the plan drops the join — one
+    gram-keyed exchange plus one doc-keyed exchange total. At 100 TB
+    both exchanges are corpus-shingle-sized, same as the join form's
+    reused exchange."""
     d = load(spark, sf_dir, "documents")
     sh = D.shingles(d, n=3)  # distinct (doc_id, shingle)
-    freq = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    wdf = sh.withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy("shingle"))
+    )
     boiler = F.when(F.col("n_docs") >= 2, 1).otherwise(0)
     return (
-        sh.join(freq, "shingle")
-        .groupBy("doc_id")
+        wdf.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
             F.sum(boiler).cast("long").alias("n_boiler"),

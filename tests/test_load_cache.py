@@ -1,0 +1,55 @@
+"""Guards for catalog.load's per-session scan memoization (ADVICE r6):
+a same-path parquet rewrite must invalidate the cached plan (mtime is
+part of the key), and cache eviction must drop dead-session entries
+before it ever clears the live session's hot entries.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from dropbox_duckdb_playground_spark import catalog
+
+
+def test_same_path_rewrite_invalidates(spark, tmp_path):
+    p = str(tmp_path)
+    spark.range(3).selectExpr("id AS a").write.mode("overwrite").parquet(
+        os.path.join(p, "customer.parquet")
+    )
+    df1 = catalog.load(spark, p, "customer")
+    assert df1.columns == ["a"]
+    # rewrite with a DIFFERENT schema at the same path; bump mtime in
+    # case the filesystem's mtime granularity is coarse
+    time.sleep(0.05)
+    spark.range(3).selectExpr("id AS a", "id + 1 AS b").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(p, "customer.parquet"))
+    os.utime(os.path.join(p, "customer.parquet"))
+    df2 = catalog.load(spark, p, "customer")
+    assert df2.columns == ["a", "b"], "stale cached plan returned after rewrite"
+
+
+def test_eviction_prefers_dead_sessions(spark, tmp_path):
+    p = str(tmp_path)
+    spark.range(1).selectExpr("id AS a").write.mode("overwrite").parquet(
+        os.path.join(p, "region.parquet")
+    )
+    live = catalog.load(spark, p, "region")
+    live_keys = [k for k in catalog._LOAD_CACHE if k[1].startswith(p)]
+    assert live_keys, "live entry not cached"
+    # flood the cache with dead-session keys to trip the eviction bound
+    for i in range(300):
+        catalog._LOAD_CACHE[(f"dead-app-{i}", f"/nowhere/{i}.parquet", 0)] = live
+    catalog.load(spark, p, "region")  # triggers eviction on next miss path
+    spark.range(1).selectExpr("id AS a").write.mode("overwrite").parquet(
+        os.path.join(p, "nation.parquet")
+    )
+    catalog.load(spark, p, "nation")  # miss -> eviction runs
+    remaining = list(catalog._LOAD_CACHE)
+    assert all(not k[0].startswith("dead-app-") for k in remaining), (
+        "dead-session entries survived eviction"
+    )
+    assert any(k[1].startswith(p) for k in remaining), (
+        "live session's entries were evicted while dead ones existed"
+    )
