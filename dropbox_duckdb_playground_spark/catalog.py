@@ -50,23 +50,25 @@ MINHASH_MINS = ", ".join(
 # immutable lazy plans, so sharing the object across queries is safe;
 # data is still read fresh at every action. Keyed by applicationId so
 # session restarts (tools/scaling.py) never reuse a dead plan.
-_LOAD_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Value is (parquet mtime_ns, plan): a same-path rewrite REPLACES the
+# entry on next load instead of accumulating stale-mtime siblings.
+_LOAD_CACHE: dict[tuple[str, str], tuple[int, DataFrame]] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     app_id = spark.sparkContext.applicationId
-    # mtime in the key: a same-path rewrite (test/tooling data
+    # mtime guards the entry: a same-path rewrite (test/tooling data
     # regeneration) must invalidate, or a stale plan with the old
     # schema would be replayed within one session.
     try:
         mtime = os.stat(path).st_mtime_ns
     except OSError:
         mtime = 0  # let spark.read raise the real error below
-    key = (app_id, path, mtime)
+    key = (app_id, path)
     cached = _LOAD_CACHE.get(key)
-    if cached is not None:
-        return cached
+    if cached is not None and cached[0] == mtime:
+        return cached[1]
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
         # reader rejects; read nanos as long and convert (values are
@@ -80,15 +82,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         df = spark.read.parquet(path)
     if len(_LOAD_CACHE) > 256:  # bound growth across many sessions/dirs
-        # Evict dead-session and stale-mtime entries first; only fall
-        # back to a full clear (which would also drop the live
-        # session's hot entries) if everything in the cache is current.
+        # Evict dead-session entries first (rewritten-path entries of
+        # the live session already replaced in place via the mtime
+        # check above); only fall back to a full clear — which would
+        # also drop the live session's hot entries — if every cached
+        # entry belongs to the current session.
         stale = [k for k in _LOAD_CACHE if k[0] != app_id]
         for k in stale:
             del _LOAD_CACHE[k]
         if len(_LOAD_CACHE) > 256:
             _LOAD_CACHE.clear()
-    _LOAD_CACHE[key] = df
+    _LOAD_CACHE[key] = (mtime, df)
     return df
 
 

@@ -1,6 +1,7 @@
 """Guards for catalog.load's per-session scan memoization (ADVICE r6):
-a same-path parquet rewrite must invalidate the cached plan (mtime is
-part of the key), and cache eviction must drop dead-session entries
+a same-path parquet rewrite must invalidate the cached plan (the entry
+is mtime-guarded and replaced in place, so rewrites never accumulate
+stale siblings), and cache eviction must drop dead-session entries
 before it ever clears the live session's hot entries.
 """
 
@@ -19,6 +20,7 @@ def test_same_path_rewrite_invalidates(spark, tmp_path):
     )
     df1 = catalog.load(spark, p, "customer")
     assert df1.columns == ["a"]
+    n_before = len(catalog._LOAD_CACHE)
     # rewrite with a DIFFERENT schema at the same path; bump mtime in
     # case the filesystem's mtime granularity is coarse
     time.sleep(0.05)
@@ -28,6 +30,9 @@ def test_same_path_rewrite_invalidates(spark, tmp_path):
     os.utime(os.path.join(p, "customer.parquet"))
     df2 = catalog.load(spark, p, "customer")
     assert df2.columns == ["a", "b"], "stale cached plan returned after rewrite"
+    # the rewrite REPLACED the entry (same key, new mtime) — no
+    # stale-mtime sibling accumulates
+    assert len(catalog._LOAD_CACHE) == n_before
 
 
 def test_eviction_prefers_dead_sessions(spark, tmp_path):
@@ -40,12 +45,13 @@ def test_eviction_prefers_dead_sessions(spark, tmp_path):
     assert live_keys, "live entry not cached"
     # flood the cache with dead-session keys to trip the eviction bound
     for i in range(300):
-        catalog._LOAD_CACHE[(f"dead-app-{i}", f"/nowhere/{i}.parquet", 0)] = live
-    catalog.load(spark, p, "region")  # triggers eviction on next miss path
+        catalog._LOAD_CACHE[(f"dead-app-{i}", f"/nowhere/{i}.parquet")] = (0, live)
+    # eviction only runs on a cache MISS (a hit returns before the
+    # bound check) — write and load a fresh path to force one
     spark.range(1).selectExpr("id AS a").write.mode("overwrite").parquet(
         os.path.join(p, "nation.parquet")
     )
-    catalog.load(spark, p, "nation")  # miss -> eviction runs
+    catalog.load(spark, p, "nation")
     remaining = list(catalog._LOAD_CACHE)
     assert all(not k[0].startswith("dead-app-") for k in remaining), (
         "dead-session entries survived eviction"

@@ -40,7 +40,11 @@ def main() -> None:
     from dropbox_duckdb_playground_spark.session import get_spark, quiesce
 
     spark = get_spark("decompose_q64")
-    cap = D.DEFAULT_MAX_SHINGLE_FREQ
+    # q64 passes an EXPLICIT max_shingle_freq=3 (catalog.py) — the
+    # prefixes must apply the same cap or the sizes/join deltas
+    # measure a different surviving-shingle table than the real plan
+    cap = 3
+    warm = sf_dir if not os.path.isdir("/root/testdata/sf0.001") else "/root/testdata/sf0.001"
 
     def explode(sf):
         d = load(spark, sf, "documents")
@@ -74,7 +78,7 @@ def main() -> None:
     ]
     best = {}
     for label, mk in stages:
-        mk("/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+        mk(warm).write.format("noop").mode("overwrite").save()
         quiesce(spark)
         times = []
         for _ in range(reps):

@@ -43,6 +43,7 @@ def main() -> None:
 
     spark = get_spark("decompose_q93")
     fn = entrymod.queries()["q93_hll_distinct"]
+    warm = sf_dir if not os.path.isdir("/root/testdata/sf0.001") else "/root/testdata/sf0.001"
 
     md5_phash = SK._phash
 
@@ -61,9 +62,7 @@ def main() -> None:
     for label, ph in (("md5", md5_phash), ("xxhash64", xx_phash), ("nohash", no_phash)):
         SK._phash = ph
         try:
-            fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
-                "overwrite"
-            ).save()  # warm
+            fn(spark, warm).write.format("noop").mode("overwrite").save()  # warm
             quiesce(spark)
             times = []
             for _ in range(reps):
