@@ -5241,7 +5241,11 @@ def q110_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.sum("bpe").cast("long").alias("bpe_tokens"),
         F.sum("ws").cast("long").alias("ws_tokens"),
-        F.round(F.sum("bpe").cast("double") / F.sum("ws"), 4).alias("fertility"),
+        # try_divide: a source whose every document is empty text has
+        # ws_tokens 0 — DuckDB yields NULL, bare `/` throws under ANSI
+        F.round(
+            F.try_divide(F.sum("bpe").cast("double"), F.sum("ws")), 4
+        ).alias("fertility"),
     )
 
 

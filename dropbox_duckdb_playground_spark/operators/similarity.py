@@ -49,7 +49,11 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm vector makes the denominator exactly 0 —
+    # DuckDB's x/0 is NULL, and a bare `/` THROWS under an ANSI-on
+    # session (the driver's mode, even for doubles in Spark 4). NULL
+    # cosine for a zero vector is also the right semantics.
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk(
@@ -86,8 +90,11 @@ def cosine_topk(
         .withColumn(
             "cosine",
             F.round(
-                _dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("__qn__") * F.col("__cn__")),
+                # try_divide: zero-norm guard under ANSI (see cosine())
+                F.try_divide(
+                    _dot(F.col("q_vec"), F.col("c_vec")),
+                    F.col("__qn__") * F.col("__cn__"),
+                ),
                 4,
             ),
         )
@@ -163,8 +170,11 @@ def lsh_ann_topk(
         .withColumn(
             "cosine",
             F.round(
-                _dot(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("__qn__") * F.col("__cn__")),
+                # try_divide: zero-norm guard under ANSI (see cosine())
+                F.try_divide(
+                    _dot(F.col("q_vec"), F.col("c_vec")),
+                    F.col("__qn__") * F.col("__cn__"),
+                ),
                 4,
             ),
         )
@@ -215,8 +225,11 @@ def cosine_neardup_pairs(
             F.col("l.id").alias("a_id"),
             F.col("r.id").alias("b_id"),
             F.round(
-                _dot(F.col("l.vec"), F.col("r.vec"))
-                / (F.col("l.nrm") * F.col("r.nrm")),
+                # try_divide: zero-norm guard under ANSI (see cosine())
+                F.try_divide(
+                    _dot(F.col("l.vec"), F.col("r.vec")),
+                    F.col("l.nrm") * F.col("r.nrm"),
+                ),
                 4,
             ).alias("cosine"),
         )
