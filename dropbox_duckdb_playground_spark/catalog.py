@@ -6229,8 +6229,8 @@ def q124_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Their fixes are local-mirror-proven in r7 and become DRIVER-proven
 # in CORRECTNESS_r08; q54's oracle-type fix gets its first driver
 # green this round (r7 window q27..q76).
-CATALOG_ROUND = 7
-DRIVER_WINDOW_OFFSET = 26
+CATALOG_ROUND = 8
+DRIVER_WINDOW_OFFSET = 76
 if not (CATALOG_ROUND >= 5 and DRIVER_WINDOW_OFFSET == (50 * (CATALOG_ROUND - 4)) % 124):
     # explicit raise, not `assert`: the guard must survive `python -O`
     raise RuntimeError(
