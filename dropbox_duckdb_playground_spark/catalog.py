@@ -5015,11 +5015,13 @@ def q106_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 retrieval (operators/text.bm25_topk): top-10 documents for
     each of the corpus's 8 most frequent non-stopword terms — the IR
     ranking primitive on top of the inverted-index family (q60/q61).
-    The tf table is one explode + map-side-combined groupBy; df/idf and
-    the query-term set are vocabulary-sized broadcasts; scoring is
-    pruned to the query terms' postings BEFORE the top-k window.
-    Rounded-score tie-breaks keep the ranking engine-stable (libm ln
-    differences live below the 4-decimal rounding)."""
+    The corpus is tokenized once into a doc-partitioned, materialized
+    (doc_id, dl, term, tf) table whose groupBy is exchange-free (the
+    repartition(key) upstream satisfies its clustering); df/idf and the
+    query-term set are vocabulary-sized aggregates over that table;
+    scoring is pruned to the query terms' postings BEFORE the top-k
+    window. Rounded-score tie-breaks keep the ranking engine-stable
+    (libm ln differences live below the 4-decimal rounding)."""
     d = load(spark, sf_dir, "documents")
     return TX.bm25_topk(d, n_query_terms=8, k=10)
 

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dropbox_duckdb_playground_spark.materialize import materialize
+
 
 DEFAULT_STOPWORDS = ("the", "a", "of", "and", "to", "in")
 
@@ -448,36 +450,69 @@ def bm25_topk(
     ranking engine-stable; the idf ln() differs across libm
     implementations only below the 4-decimal rounding.
 
-    Scale: the term-frequency table (doc_id, term, tf) is ONE explode +
-    map-side-combined groupBy of the corpus; document lengths ride the
-    same scan. df/idf and the query-term set are term-vocabulary-sized
-    aggregates, broadcast; scoring touches only the tf rows of the few
-    query terms (semi-join prune BEFORE the window), and the final
-    top-k window shuffles just those scored rows on the term key. No
-    stage is corpus-quadratic and nothing but the tf build reads the
-    corpus."""
-    toks = docs.select(F.col(key), F.explode(tokens_col(text)).alias("term"))
-    tf = toks.groupBy(key, "term").agg(F.count("*").alias("tf"))
-    dl = docs.select(
-        F.col(key), token_count(text).cast("long").alias("dl")
+    Scale: the corpus is tokenized EXACTLY ONCE, and the token-level
+    rows are NEVER shuffled. ``repartition(key)`` before the explode
+    hash-partitions the documents, which satisfies the clustering
+    requirement of ``groupBy(key, dl, term)`` (a hash partitioning on a
+    subset of the grouping keys), so the tf aggregate runs exchange-free
+    on whole-document partitions — the one corpus-sized shuffle moves
+    raw document text, the same bytes the alternative token-partial
+    exchange would move, and it additionally leaves the materialized tf
+    table doc-partitioned. The explode carries the per-document length
+    alongside each token, so tf (doc_id, dl, term, tf) already holds
+    everything per-posting scoring needs — there is no corpus-sized dl
+    join. Every other input derives from that pinned table: df and the
+    query-term corpus counts come from ONE vocabulary-sized aggregate
+    (the top-N query terms then carry their own df, a single N-row
+    broadcast), and tot_dl is sum(tf) over the same table (== sum of
+    document lengths). Only n_docs touches the docs scan again — a
+    column-pruned count that must see zero-token documents, which the
+    explode drops. Scoring touches only the tf rows of the few query
+    terms (broadcast-join prune BEFORE the window), and the final top-k
+    window shuffles just those rows, pre-trimmed by WindowGroupLimit.
+
+    The materialize barrier is load-bearing: tf feeds three consumers
+    (qterms/df, tot_dl, scoring) whose branch-specific pushed filters
+    (e.g. isnotnull(term) from the scoring join) make the subtrees
+    canonicalize differently, so ReusedExchange cannot unify them and
+    each branch would re-tokenize the corpus. Measured at sf1
+    (tools/timeq.py, local[32]): 2.55s for the branch-per-consumer
+    plan vs 0.89s for this shape — the re-tokenizing variants
+    (fan_out-only 4.3s, materialize-only 3.4s) lose because only the
+    repartition(key)+materialize pair removes BOTH the re-execution
+    and the token-level exchange."""
+    # Explicit partition count: a bare repartition(col) lets AQE
+    # coalesce the (small-bytes, compute-heavy) text shuffle down to 1-2
+    # partitions, serializing the tokenize — measured 2.4s vs 0.9s at
+    # sf1. defaultParallelism = cluster cores, the compute-bound choice.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        docs.select(F.col(key), F.col(text))
+        .repartition(n_part, F.col(key))
+        .select(F.col(key), tokens_col(text).alias("__toks"))
+        .select(
+            F.col(key),
+            F.size("__toks").cast("long").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
     )
-    n_and_avg = dl.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("tot_dl")
+    tf = materialize(
+        toks.groupBy(key, "dl", "term").agg(F.count("*").alias("tf"))
     )
-    df_t = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    tot_dl = tf.agg(F.sum("tf").alias("tot_dl"))
+    n_and_avg = n_docs.crossJoin(tot_dl)
     stop_arr = F.array(*[F.lit(s) for s in stopwords])
     qterms = (
-        toks.groupBy("term")
-        .agg(F.count("*").alias("cnt"))
+        tf.groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("cnt"))
         .filter(~F.array_contains(stop_arr, F.col("term")))
         .orderBy(F.desc("cnt"), F.asc("term"))
         .limit(n_query_terms)
-        .select("term")
+        .select("term", "df")
     )
     scored = (
         tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(df_t.join(F.broadcast(qterms), "term")), "term")
-        .join(dl, key)
         .crossJoin(F.broadcast(n_and_avg))
     )
     avgdl = F.col("tot_dl").cast("double") / F.col("n_docs")
