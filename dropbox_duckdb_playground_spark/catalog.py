@@ -5203,36 +5203,44 @@ def q109_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     primitive done scale-right: each frontier is DEDUPED before the
     next expansion (distinct per level), so path multiplicity never
     compounds — the classic failure mode of naive iterative joins. The
-    edge list is one distinct shuffle on (cust, supp); hop-2 rides one
-    join keyed on the supplier (hub-supplier skew is AQE skew-join
-    territory; a frequency cap like q64/q65's is the production guard)."""
+    dedup happens at frontier granularity (seed-sized), never as a
+    corpus-wide edge distinct; the seed prune is pushed below the
+    orderkey join so only seed-supplier lineitems shuffle (hub-supplier
+    skew is AQE skew-join territory; a frequency cap like q64/q65's is
+    the production guard)."""
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    e = (
-        o.join(l, o["o_orderkey"] == l["l_orderkey"])
-        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+    raw = o.join(l, o["o_orderkey"] == l["l_orderkey"]).select(
+        F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+    )
+    # The edge list is deliberately NOT deduped corpus-wide: the global
+    # (cust, supp) distinct shuffled 5.9M rows to remove 0.6% of them
+    # (measured at sf1), and every downstream consumer dedupes at its
+    # own, far smaller granularity anyway — h1 after the pushed
+    # cust<20 filter, h2 at (seed, cust) after the seed prune.
+    h1 = (
+        raw.filter(F.col("cust") < 20)
+        .select(F.col("cust").alias("seed"), "supp")
         .distinct()
     )
-    # no materialize: e's two consumers (hop-1 filter, hop-2 probe) are
-    # the IDENTICAL distinct subplan, so its exchange canonicalizes
-    # equal and executes once (ReusedExchange) — an eager checkpoint
-    # here only added a sync job + re-scan (measured ~0.3s slower)
-    h1 = e.filter(F.col("cust") < 20).select(F.col("cust").alias("seed"), "supp")
-    # the seed frontier is query-sized (the ego-network pattern: a
+    # The seed frontier is query-sized (the ego-network pattern: a
     # bounded seed set, not the whole graph), so hop-2 BROADCASTS it
-    # into the edge probe — without the hint this join re-shuffles the
-    # full edge set on supp, doubling the fact exchanges. Whole-graph
-    # BFS (unbounded frontiers) belongs to the shuffle-based operator
-    # in operators/components.py instead.
+    # onto LINEITEM BEFORE the orderkey join: only the ~6% of lineitem
+    # rows touching a seed supplier reach the orders shuffle, instead
+    # of probing the frontier against the full deduped edge table
+    # (measured 1.41s vs 1.87s for the hop-2 subplan at sf1, and the
+    # 1.7s edge-distinct build disappears entirely). Whole-graph BFS
+    # (unbounded frontiers) belongs to operators/components.py instead.
+    lh = l.join(F.broadcast(h1), l["l_suppkey"] == h1["supp"])
     h2 = (
-        e.join(F.broadcast(h1), "supp")
-        .filter(F.col("cust") != F.col("seed"))
-        .select("seed", "cust")
+        lh.join(o, lh["l_orderkey"] == o["o_orderkey"])
+        .filter(F.col("o_custkey") != F.col("seed"))
+        .select("seed", F.col("o_custkey").alias("cust"))
         .distinct()
     )
-    a1 = h1.groupBy("seed").agg(
-        F.countDistinct("supp").cast("long").alias("n_suppliers")
-    )
+    # h1 is already distinct (seed, supp), so the per-seed supplier
+    # count is a plain count.
+    a1 = h1.groupBy("seed").agg(F.count("*").cast("long").alias("n_suppliers"))
     a2 = h2.groupBy("seed").agg(F.count("*").cast("long").alias("n_cust_2hop"))
     return a1.join(a2, "seed", "left").select(
         "seed",
