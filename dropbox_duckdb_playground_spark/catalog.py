@@ -12,6 +12,7 @@ tie-breaks for every per-key dedup).
 from __future__ import annotations
 
 import os
+import stat as statmod
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -56,6 +57,25 @@ MINHASH_MINS = ", ".join(
 _LOAD_CACHE: dict[tuple[str, str], tuple[int, DataFrame]] = {}
 
 
+def _parquet_mtime_ns(path: str) -> int:
+    """Invalidation stamp for a parquet path. For a FILE it is the file
+    mtime. For a DIRECTORY (Spark-written parquet) the directory mtime
+    alone is not enough — replacing a part-file's CONTENTS in place does
+    not touch the directory entry list — so take the max over the
+    directory and its immediate children (part files and _SUCCESS live
+    at the top level; a rewrite touches at least one of them)."""
+    st = os.stat(path)
+    mtime = st.st_mtime_ns
+    if statmod.S_ISDIR(st.st_mode):
+        with os.scandir(path) as it:
+            for entry in it:
+                try:
+                    mtime = max(mtime, entry.stat().st_mtime_ns)
+                except OSError:
+                    continue
+    return mtime
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
     app_id = spark.sparkContext.applicationId
@@ -63,13 +83,17 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # regeneration) must invalidate, or a stale plan with the old
     # schema would be replayed within one session.
     try:
-        mtime = os.stat(path).st_mtime_ns
+        mtime = _parquet_mtime_ns(path)
     except OSError:
-        mtime = 0  # let spark.read raise the real error below
+        # Unstat-able path: bypass the cache entirely (never serve a
+        # previously cached frame for a path we can no longer see) and
+        # let spark.read raise the real error below.
+        mtime = None
     key = (app_id, path)
-    cached = _LOAD_CACHE.get(key)
-    if cached is not None and cached[0] == mtime:
-        return cached[1]
+    if mtime is not None:
+        cached = _LOAD_CACHE.get(key)
+        if cached is not None and cached[0] == mtime:
+            return cached[1]
     if name == "events":
         # events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
         # reader rejects; read nanos as long and convert (values are
@@ -82,6 +106,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     else:
         df = spark.read.parquet(path)
+    if mtime is None:
+        return df  # nothing stat-able to key invalidation on: don't cache
     if len(_LOAD_CACHE) > 256:  # bound growth across many sessions/dirs
         # Evict dead-session entries first (rewritten-path entries of
         # the live session already replaced in place via the mtime
@@ -4045,8 +4071,12 @@ def q93_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         vals = dc if vals is None else vals.unionAll(dc)
     vals = pin(vals)  # two consumers: HLL registers + exact counts
 
-    # stage 2: portable hash on distinct values only; ONE aggregate
-    # produces registers (max rho) and per-bucket distinct counts
+    # stage 2: portable hash on distinct values only. One register
+    # aggregate (max rho per bucket) over the pinned distinct table;
+    # the exact per-column counts come from a SEPARATE aggregate over
+    # the same pinned table below — the fused
+    # registers+bucket-counts-in-one-aggregate variant was measured
+    # and rejected (see the adjudicated-stop note in the docstring)
     h = SK._phash(F.col("v").cast("string"), "hll:")
     w = F.shiftright(h, 6)  # h div 64, h is a nonneg 60-bit value
     exploded = vals.select(

@@ -381,12 +381,18 @@ def ngram_jaccard_pairs(
     # ONCE (ReusedExchange). Left to AQE, a broadcast join looks cheaper
     # (no shuffle) but silently recomputes the expensive shingling on
     # both sides — and at 100 TB the shingle table could never be
-    # broadcast anyway. Join exec depends on the cap: CAPPED runs use
-    # shuffle-hash — stop-shingle removal bounds every digest at
-    # ``max_shingle_freq`` rows, so no partition can hold a hot-key
-    # build side and the SMJ sort of both sides is pure waste (measured
-    # at sf1: 5.3s -> see q64 NOTES); UNCAPPED (exact=True) keeps
-    # sort-merge so a hot digest spills instead of OOMing the build.
+    # broadcast anyway. Join exec depends on the cap. CAPPED runs use
+    # shuffle-hash, which skips the SMJ sort of both sides (measured at
+    # sf1: 5.3s -> see q64 NOTES). Memory model, stated precisely: a
+    # ShuffledHashJoin build side holds its whole PARTITION (every
+    # digest hashed there, each bounded at ``max_shingle_freq`` rows),
+    # not one key, and it cannot spill — what the cap buys is that no
+    # single hot digest can skew a partition beyond its fair share, so
+    # build memory is the ordinary partition-sizing contract every SHJ
+    # deployment already owns (spark.sql.shuffle.partitions x executor
+    # memory must cover table/partitions). UNCAPPED (exact=True) keeps
+    # sort-merge: there a hot digest CAN blow past any partition
+    # budget, and SMJ spills instead of OOMing the build.
     join_exec = "shuffle_hash" if max_shingle_freq is not None else "merge"
     l, r = hashed.alias("l"), hashed.hint(join_exec).alias("r")
     joined = l.join(
