@@ -4572,12 +4572,12 @@ def q100_curation_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so per doc  #common = #shingles - #corpus-unique-shingles.  One
     # aggregate over sh yields (freq, owner=min(doc_id)); the freq==1
     # rows aggregate to a per-doc unique count, and the per-doc shingle
-    # total comes from a second map-side-combined pass over sh (docs are
-    # explode-local, so the partial agg is exact and the exchange moves
-    # one row per doc). The old shape re-executed the shingle explode
-    # for both join inputs and shuffled the 2.6M-row shingle table twice
-    # more (join + per-doc agg): measured 3.47s -> 2.0s at sf1 for the
-    # boiler subplan, oracle SQL unchanged (same values, different plan).
+    # total is computed in-row below, so sh executes ONCE and only its
+    # one shingle-keyed exchange remains. The old shape re-executed the
+    # shingle explode for both join inputs and shuffled the 2.6M-row
+    # shingle table twice more (join + per-doc agg): measured
+    # 3.47s -> 2.0s at sf1 for the boiler subplan, oracle SQL unchanged
+    # (same values, different plan).
     g = sh.groupBy("shingle").agg(
         F.count("*").alias("__f__"), F.min("doc_id").alias("__owner__")
     )

@@ -480,11 +480,12 @@ def bm25_topk(
     (e.g. isnotnull(term) from the scoring join) make the subtrees
     canonicalize differently, so ReusedExchange cannot unify them and
     each branch would re-tokenize the corpus. Measured at sf1
-    (tools/timeq.py, local[32]): 2.55s for the branch-per-consumer
-    plan vs 0.89s for this shape — the re-tokenizing variants
-    (fan_out-only 4.3s, materialize-only 3.4s) lose because only the
-    repartition(key)+materialize pair removes BOTH the re-execution
-    and the token-level exchange."""
+    (same-session A/B, local[32]): this shape won every paired run
+    against the branch-per-consumer plan (0.89s vs 2.6s in a quiet
+    host window; 2.2s vs 2.55s under load), and the partial variants
+    lose outright (fan_out-only 4.3s, materialize-only 3.4s, two-pass
+    re-tokenize 2.9s) because only the repartition(key)+materialize
+    pair removes BOTH the re-execution and the token-level exchange."""
     # Explicit partition count: a bare repartition(col) lets AQE
     # coalesce the (small-bytes, compute-heavy) text shuffle down to 1-2
     # partitions, serializing the tokenize — measured 2.4s vs 0.9s at
