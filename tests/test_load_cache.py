@@ -59,3 +59,52 @@ def test_eviction_prefers_dead_sessions(spark, tmp_path):
     assert any(k[1].startswith(p) for k in remaining), (
         "live session's entries were evicted while dead ones existed"
     )
+
+
+def test_inplace_partfile_rewrite_bumps_stamp(spark, tmp_path):
+    """ADVICE r7: Spark-written parquet is a DIRECTORY; rewriting a
+    part-file's CONTENTS in place does not bump the directory mtime, so
+    the invalidation stamp must look at the children. (Scoped to the
+    stamp function: whether a fresh spark.read then sees the new bytes
+    also involves Spark's own session-level file-status caches, which
+    are outside load()'s contract.)"""
+    p = str(tmp_path)
+    dirpath = os.path.join(p, "supplier.parquet")
+    spark.range(3).selectExpr("id AS a").write.mode("overwrite").parquet(dirpath)
+    stamp0 = catalog._parquet_mtime_ns(dirpath)
+    dir_mtime = os.stat(dirpath).st_mtime_ns
+    part = next(
+        os.path.join(dirpath, f)
+        for f in os.listdir(dirpath)
+        if f.endswith(".parquet")
+    )
+    time.sleep(0.05)
+    # rewrite the part-file in place (same entry names) and PIN the
+    # directory mtime back to its old value — the dir alone would not
+    # reveal the rewrite
+    with open(part, "ab") as fh:
+        fh.write(b"")
+        os.utime(part)
+    os.utime(dirpath, ns=(dir_mtime, dir_mtime))
+    stamp1 = catalog._parquet_mtime_ns(dirpath)
+    assert stamp1 > stamp0, (
+        "in-place part-file rewrite did not bump the invalidation stamp"
+    )
+
+
+def test_unstattable_path_bypasses_cache(spark, tmp_path):
+    """On OSError the cache must be bypassed in BOTH directions: no
+    lookup of a previously cached frame, no storing an uninvalidatable
+    entry."""
+    import pytest
+
+    p = str(tmp_path)
+    missing = os.path.join(p, "part.parquet")
+    n_before = len(catalog._LOAD_CACHE)
+    with pytest.raises(Exception):
+        catalog.load(spark, p, "part")  # spark.read raises the real error
+    assert len(catalog._LOAD_CACHE) == n_before, (
+        "an entry was cached for an unstat-able path"
+    )
+    assert not any(k[1] == missing and v[0] is None
+                   for k, v in catalog._LOAD_CACHE.items())
