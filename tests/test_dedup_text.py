@@ -318,6 +318,33 @@ def test_bm25_ranks_term_heavy_doc_first(spark):
         assert scores == sorted(scores, reverse=True)
 
 
+def test_bm25_counts_empty_docs_in_n_docs(spark):
+    """The one-tokenize tf build drops zero-token documents at the
+    explode; n_docs must still count them (it feeds idf and avgdl), so
+    it is computed from the docs scan, not from tf. Pin that with two
+    corpora differing only by an empty doc: idf must differ."""
+    import math
+
+    from dropbox_duckdb_playground_spark.operators.text import bm25_topk
+
+    base = [(1, "apple apple banana"), (2, "apple cherry")]
+    with_empty = base + [(3, "   ")]
+    score = {}
+    for tag, rows in (("base", base), ("with_empty", with_empty)):
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = bm25_topk(docs, n_query_terms=1, k=5).collect()
+        assert all(r["doc_id"] != 3 for r in out)
+        score[tag] = {(r["term"], r["doc_id"]): r["bm25"] for r in out}
+    # same (term, doc) keys, different idf because n_docs went 2 -> 3
+    assert set(score["base"]) == set(score["with_empty"])
+    # apple: df=2. idf(n=2)=ln(1+0.5/2.5), idf(n=3)=ln(1+1.5/2.5) — the
+    # 4dp-rounded scores must reflect the larger corpus
+    changed = [k for k in score["base"] if score["base"][k] != score["with_empty"][k]]
+    assert changed, "adding an empty doc did not change any bm25 score"
+    k0 = next(iter(score["base"]))
+    assert not math.isnan(score["base"][k0])
+
+
 def test_jaccard_pre_hashed_matches_raw(spark):
     # the digest-sharing entry point (q120) must produce the exact same
     # pairs as the raw-shingle path
