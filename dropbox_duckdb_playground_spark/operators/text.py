@@ -485,7 +485,11 @@ def bm25_topk(
     host window; 2.2s vs 2.55s under load), and the partial variants
     lose outright (fan_out-only 4.3s, materialize-only 3.4s, two-pass
     re-tokenize 2.9s) because only the repartition(key)+materialize
-    pair removes BOTH the re-execution and the token-level exchange."""
+    pair removes BOTH the re-execution and the token-level exchange.
+    Also measured and rejected: checkpointing only the vocabulary
+    aggregate and re-tokenizing a query-term-pruned second pass
+    (2.7s vs 2.1s same-session — the second tokenize costs more than
+    the token-table checkpoint it saves)."""
     # Explicit partition count: a bare repartition(col) lets AQE
     # coalesce the (small-bytes, compute-heavy) text shuffle down to 1-2
     # partitions, serializing the tokenize — measured 2.4s vs 0.9s at
