@@ -465,10 +465,17 @@ def hamming_neardup_pairs(
     block-permutation trick: split the signature into ``blocks`` chunks;
     any pair within radius ``max_hamming < blocks`` must agree on ≥1 chunk
     → equi-join per chunk, then exact Hamming filter via bit_count(xor).
-    The self-join sides are the same subplan forced to a sort-merge
-    join: their exchanges canonicalize equal, so the simhash bit-sum
-    pipeline executes ONCE (ReusedExchange) with no materialize
-    barrier — and SMJ spills instead of OOMing on skew at scale."""
+    The signature table is MATERIALIZED before the self-join: the
+    "identical subplans canonicalize equal → ReusedExchange" assumption
+    this code previously relied on is false in practice (runtime final
+    plans showed 0 reuse — join-pushed predicates specialize each side,
+    the same failure mode measured on bm25's tokenize branches), so
+    without the barrier the whole tokenize + 60-bit-sum pipeline ran
+    once PER SIDE. sig is one long per document — the cheapest possible
+    checkpoint for the most expensive subplan (measured at sf0.1:
+    2.52s -> 1.36s for the pair join). The join stays sort-merge so a
+    hot chunk spills instead of OOMing the build at scale."""
+    sig = materialize(sig)
     chunk = bits // blocks
     mask = (1 << chunk) - 1
     chunk_cols = [
