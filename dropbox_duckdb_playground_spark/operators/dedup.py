@@ -145,12 +145,21 @@ def lsh_candidate_pairs(
     a bucket that collides half the corpus carries no similarity signal,
     only boilerplate, and pairing it is quadratic). Default ``None``
     preserves exact semantics for oracle parity.
-    The self-join's two sides are the same subplan forced to a
-    sort-merge join, so their shuffle exchanges canonicalize equal and
-    the minhash pipeline executes ONCE (ReusedExchange) — no
-    materialize barrier even in the capped path (measured r7: see the
-    inline comment); SMJ (not shuffle-hash) so a skewed partition
-    spills instead of OOMing the build at cluster scale."""
+    The signature table is MATERIALIZED before banding: the prior
+    "identical self-join sides share one exchange (ReusedExchange)"
+    rationale is false at runtime (final adaptive plans show 0 reuse
+    and the shingle+minhash pipeline scanning the corpus once PER
+    SIDE — join-pushed predicates specialize each side's subtree, the
+    failure mode established on bm25/simhash in r8). sig is
+    ``num_perm`` longs per document — the cheapest possible checkpoint.
+    Measured wall-clock is a WASH locally (sf0.1 1.3->1.4s, sf1
+    2.08->2.00s: the duplicate pipeline ran concurrently on idle
+    cores), but the barrier halves the corpus CPU — the runtime plan
+    goes from two full scans to zero (checkpoint reads) — which is the
+    honest win at cluster utilization, bought for a doc-count-sized
+    sync. The join stays SMJ (not shuffle-hash) so a skewed partition
+    spills instead of OOMing the build at scale."""
+    sig = materialize(sig)
     rows_per_band = num_perm // bands
     band_cols = []
     for b in range(bands):
@@ -168,14 +177,13 @@ def lsh_candidate_pairs(
             .filter(F.col("__bsz__") <= max_bucket_size)
             .drop("__bsz__")
         )
-        # NO barrier here, unlike the capped Jaccard path (r7,
-        # measured): the window's duplicated re-execution per join
-        # side is only a sort of the SMALL bucket-key table (docs x
-        # bands rows — the expensive minhash aggregate sits below the
-        # window's exchange and runs once), and the materialize sync
-        # job cost exactly offset the saved sort (sf1 1.73s -> 1.82s,
-        # sf0.1 slightly worse). ngram_jaccard_pairs cuts because its
-        # window re-sorts the full SHINGLE table per consumer.
+        # No SECOND barrier on the window output (r7, measured: a
+        # buckets-level materialize was a wash, sf1 1.73s -> 1.82s):
+        # with sig pinned above, the window's per-side re-execution is
+        # only a sort of the SMALL bucket-key table (docs x bands rows
+        # read back from the checkpoint). ngram_jaccard_pairs cuts at
+        # the window instead because its window re-sorts the full
+        # SHINGLE table per consumer.
     left = buckets.alias("l")
     right = buckets.hint("merge").alias("r")
     return (
@@ -203,10 +211,12 @@ def minhash_estimate_pairs(
     intersection is too expensive. Output: (a_id, b_id, est_jaccard),
     est rounded to 4 (exact /2^k arithmetic — engine-portable).
 
-    Scale: same banded self-join as `lsh_candidate_pairs` (one reused
-    exchange, SMJ); signatures ride the bucket rows so the estimate
-    costs ZERO extra joins — num_perm integer equality checks per
-    candidate."""
+    Scale: same banded self-join as `lsh_candidate_pairs` (materialized
+    signature table — see that docstring for why the self-join sides do
+    NOT share an exchange at runtime — then SMJ); signatures ride the
+    bucket rows so the estimate costs ZERO extra joins — num_perm
+    integer equality checks per candidate."""
+    sig = materialize(sig)
     rows_per_band = num_perm // bands
     band_cols = []
     for b in range(bands):
@@ -228,14 +238,13 @@ def minhash_estimate_pairs(
             .filter(F.col("__bsz__") <= max_bucket_size)
             .drop("__bsz__")
         )
-        # NO barrier here, unlike the capped Jaccard path (r7,
-        # measured): the window's duplicated re-execution per join
-        # side is only a sort of the SMALL bucket-key table (docs x
-        # bands rows — the expensive minhash aggregate sits below the
-        # window's exchange and runs once), and the materialize sync
-        # job cost exactly offset the saved sort (sf1 1.73s -> 1.82s,
-        # sf0.1 slightly worse). ngram_jaccard_pairs cuts because its
-        # window re-sorts the full SHINGLE table per consumer.
+        # No SECOND barrier on the window output (r7, measured: a
+        # buckets-level materialize was a wash, sf1 1.73s -> 1.82s):
+        # with sig pinned above, the window's per-side re-execution is
+        # only a sort of the SMALL bucket-key table (docs x bands rows
+        # read back from the checkpoint). ngram_jaccard_pairs cuts at
+        # the window instead because its window re-sorts the full
+        # SHINGLE table per consumer.
     l, r = buckets.alias("l"), buckets.hint("merge").alias("r")
     matches = sum(
         F.when(F.col(f"l.mh{i}") == F.col(f"r.mh{i}"), 1).otherwise(0)
