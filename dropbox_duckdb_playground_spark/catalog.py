@@ -6023,10 +6023,13 @@ def q121_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     string-distance scorer the reference's dedupe library applies
     per-pair (reference analog: the pairwise feature scoring surface,
     examples/graph/resolution/mapper/messy.py:301-345), done as one
-    blocked self-join instead of a Python worker pool. The self-join's
-    identical sides share one exchange (merge hint -> ReusedExchange);
-    block sizes are bounded by the key's selectivity, the same guard
-    as er/blocking.max_block_size."""
+    blocked self-join instead of a Python worker pool. The self-join
+    sides do NOT share an exchange at runtime (r8 finding: join-pushed
+    predicates specialize each side), but here the duplicated subplan
+    is a trivial dimension scan+split — the cost lives in the
+    levenshtein pair evaluations, so no barrier is warranted; block
+    sizes are bounded by the key's selectivity, the same guard as
+    er/blocking.max_block_size."""
     p = load(spark, sf_dir, "part").select(
         "p_partkey",
         "p_type",

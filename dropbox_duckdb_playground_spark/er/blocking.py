@@ -77,11 +77,17 @@ def candidate_pairs(
 ) -> DataFrame:
     """E5/J6/J7: distinct candidate pairs from the block self-join, with
     both sides' features attached as ``a_*`` / ``b_*`` columns
-    (reference: mapper/messy.py:226-250). The self-join is forced to
-    sort-merge so its identical sides share ONE shuffle exchange
-    (ReusedExchange) — left to AQE a broadcast join would recompute the
-    block-table pipeline for both sides — and SMJ spills rather than
+    (reference: mapper/messy.py:226-250). The (record-count-sized)
+    block table is MATERIALIZED before the self-join: runtime final
+    plans show identical sides do NOT share an exchange (join-pushed
+    predicates specialize each side — the r8 finding on
+    bm25/simhash/minhash), so without the barrier the block-key
+    pipeline executed once per side. SMJ (not broadcast, which would
+    also recompute both sides; not shuffle-hash) spills rather than
     OOMs if a block slips past the upstream size cap."""
+    from dropbox_duckdb_playground_spark.materialize import materialize
+
+    blocks = materialize(blocks)
     l, r = blocks.alias("l"), blocks.hint("merge").alias("r")
     pairs = (
         l.join(

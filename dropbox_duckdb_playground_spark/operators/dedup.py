@@ -291,10 +291,14 @@ def ngram_jaccard_pairs(
     Per-doc sizes ride ON the exploded rows when ``shingle_df`` comes
     from ``shingles(..., with_size=True)`` (they are a constant per
     doc, so grouping by them is free) — no separate sizes aggregation
-    and no post-join size lookups. The self-join's two sides are the
-    IDENTICAL subplan, so their shuffle exchanges canonicalize equal
-    and Spark executes ONE exchange (ReusedExchange) — the digest
-    pass runs once without any checkpoint/materialize barrier.
+    and no post-join size lookups. On the capped default path the
+    digest table is materialized before the self-join (see the inline
+    comment); the uncapped ``exact=True`` path runs its shingle+digest
+    pass once per join side — runtime plans show the sides do NOT
+    share an exchange (r8 finding: join-pushed predicates specialize
+    each side) — but a barrier there measured a wash (sf0.1
+    1.7s vs 1.6-2.0s) because the duplicate sides run concurrently,
+    and exact=True exists only as the annotated measurement baseline.
 
     ``max_shingle_freq`` is the production guard for corpora whose
     shingle space saturates (boilerplate, tiny vocab): shingles held by

@@ -209,14 +209,20 @@ def cosine_neardup_pairs(
     from dropbox_duckdb_playground_spark.operators.relational import fan_out
 
     sig = hyperplane_signature(F.col(vec_col), dim, planes)
-    # identical subplans + forced sort-merge join -> exchanges
-    # canonicalize equal and the signature pass runs ONCE
-    # (ReusedExchange), no materialize barrier; SMJ spills on skew
-    # per-row norm rides the shared bucket exchange (ReusedExchange), so
-    # it is computed once per vector, not once per candidate pair
-    c = fan_out(embeddings).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("bucket"),
-        _norm(F.col(vec_col)).alias("nrm"),
+    # The signature+norm table is MATERIALIZED before the self-join:
+    # the former "identical sides share one exchange (ReusedExchange)"
+    # rationale is false at runtime (r8: final adaptive plans showed 0
+    # reuse and 4 embedding scans — join-pushed predicates specialize
+    # each side, the failure mode measured on bm25/simhash/minhash).
+    # The barrier also guarantees the per-row norm is computed once per
+    # vector, not once per side. SMJ (not shuffle-hash) spills on skew.
+    from dropbox_duckdb_playground_spark.materialize import materialize
+
+    c = materialize(
+        fan_out(embeddings).select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+            sig.alias("bucket"), _norm(F.col(vec_col)).alias("nrm"),
+        )
     )
     l, r = c.alias("l"), c.hint("merge").alias("r")
     return (
