@@ -92,13 +92,22 @@ def classify(slope: float) -> str:
 # The headline count stays INCLUSIVE of these (a new superlinear row can
 # never silently vanish from the metric by being added here); the
 # allowlist below pins exactly which rows may carry a baseline note.
-ANNOTATED_BASELINE_ALLOWLIST = {"q26_jaccard_pairs"}
+ANNOTATED_BASELINE_ALLOWLIST = {"q26_jaccard_pairs", "q105_triangle_count"}
 ROW_NOTES = {
     "q26_jaccard_pairs": (
         " (data-inherent measurement baseline — explicitly uncapped"
         " via exact=True; every production consumer now runs the"
         " DEFAULT max_shingle_freq cap and is measured separately:"
         " q34/q43/q47/q64/q65/q120)"
+    ),
+    "q105_triangle_count": (
+        " (O(m^1.5) by design — degree-ordered wedge orientation is"
+        " the standard subquadratic bound, and the oracle's own sf1"
+        " slope is STEEPER (~25x per 10x data vs this row); when an"
+        " r8 sweep landed on a host load spike the single sf1 reading"
+        " inflated to 118s and crossed the 15x class boundary — four"
+        " same-night cross-checks read 20.4/37.3/59.5/65.4s, i.e."
+        " slope 2.9-9.4, sublinear-to-linear; see NOTES_r8.md)"
     ),
 }
 
