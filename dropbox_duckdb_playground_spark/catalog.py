@@ -61,16 +61,23 @@ def _parquet_mtime_ns(path: str) -> int:
     """Invalidation stamp for a parquet path. For a FILE it is the file
     mtime. For a DIRECTORY (Spark-written parquet) the directory mtime
     alone is not enough — replacing a part-file's CONTENTS in place does
-    not touch the directory entry list — so take the max over the
-    directory and its immediate children (part files and _SUCCESS live
-    at the top level; a rewrite touches at least one of them)."""
+    not touch the directory entry list — so take the max mtime over the
+    whole tree. Recursion covers Hive-partitioned layouts (key=value
+    subdirectories at any depth), where an in-place part-file rewrite
+    touches nothing at the top level. Cost is one stat per file — the
+    same order as the file listing Spark itself performs on read, and
+    only paid when `load` is called, so it never dominates."""
     st = os.stat(path)
     mtime = st.st_mtime_ns
     if statmod.S_ISDIR(st.st_mode):
-        with os.scandir(path) as it:
-            for entry in it:
+        for root, dirs, files in os.walk(path):
+            # dirs too: a DELETION inside a subdirectory bumps only that
+            # subdirectory's mtime, not any surviving file's.
+            for fname in dirs + files:
                 try:
-                    mtime = max(mtime, entry.stat().st_mtime_ns)
+                    mtime = max(
+                        mtime, os.stat(os.path.join(root, fname)).st_mtime_ns
+                    )
                 except OSError:
                     continue
     return mtime
@@ -3253,9 +3260,19 @@ def q80_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard path doesn't apply, and the plan drops the join — one
     gram-keyed exchange plus one doc-keyed exchange total. At 100 TB
     both exchanges are corpus-shingle-sized, same as the join form's
-    reused exchange."""
+    reused exchange.
+
+    The gram exchange keys on xxhash64(shingle) with the string DROPPED
+    before the shuffle (r9, tools/decompose_q80.py: paired-delta A/B at
+    sf1, digest wins 5/6 pairs, median +0.13s, and sheds ~20 bytes/row
+    of a corpus-shingle-sized exchange). The digest is the COUNT key,
+    so a collision would merge two grams' doc-counts: negligible below
+    ~10^8 distinct grams (P < 1e-9 at 64 bits; this corpus has ~30k);
+    a corpus with truly huge gram cardinality widens the key to
+    unhex(md5(...)) — same plan, 16-byte key."""
     d = load(spark, sf_dir, "documents")
     sh = D.shingles(d, n=3)  # distinct (doc_id, shingle)
+    sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
     wdf = sh.withColumn(
         "n_docs", F.count("*").over(Window.partitionBy("shingle"))
     )
@@ -3727,12 +3744,22 @@ def q89_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     CCNet): split every document into non-overlapping 20-token windows,
     keep only the FIRST occurrence (by doc_id, chunk_id) of each
     repeated chunk, report per-doc retained token mass. One shuffle on
-    the chunk text for the first-occurrence window, one on doc_id for
-    the rollup; at 100 TB the dedup key would be a 128-bit digest of the
-    chunk instead of the string — same plan shape."""
+    the chunk DIGEST for the first-occurrence window, one on doc_id for
+    the rollup. The window keys on md5(chunk_text) and the string is
+    DROPPED before the exchange: the shuffle moves a 16-byte digest per
+    chunk instead of the ~120-char chunk text (the 100 TB shape — a
+    128-bit digest makes a collision, i.e. a wrongly dropped chunk,
+    vanishingly unlikely at any corpus size; 64-bit xxhash would not
+    at ~10^10 chunks). Results are identical because the digest only
+    decides chunk EQUALITY, which md5 preserves."""
     d = load(spark, sf_dir, "documents")
-    ch = TX.chunk_documents(d, chunk_tokens=20, overlap=0)
-    w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_id")
+    ch = TX.chunk_documents(d, chunk_tokens=20, overlap=0).select(
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_key"),
+    )
+    w = Window.partitionBy("chunk_key").orderBy("doc_id", "chunk_id")
     flagged = ch.withColumn(
         "dup", F.when(F.row_number().over(w) > 1, 1).otherwise(0)
     )
@@ -6300,13 +6327,13 @@ def q124_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Re-certification schedule for the r6 driver reds (fixed in r7):
 # q115_positional_index / q117_array_suite (array outputs -> strings)
-# and q124_ab_test (try_divide) sit at source positions 115/117/124,
-# which fall inside the r8 window (offset 76 -> q77..q124 + q01..q02).
-# Their fixes are local-mirror-proven in r7 and become DRIVER-proven
-# in CORRECTNESS_r08; q54's oracle-type fix gets its first driver
-# green this round (r7 window q27..q76).
-CATALOG_ROUND = 8
-DRIVER_WINDOW_OFFSET = 76
+# and q124_ab_test (try_divide) fell inside the r8 window (offset 76
+# -> q77..q124 + q01..q02) and got their first driver greens in
+# CORRECTNESS_r08 — every catalog query is now driver-certified at
+# least once. r9 (offset 2) re-certifies q03..q52, continuing the
+# steady-state cycle.
+CATALOG_ROUND = 9
+DRIVER_WINDOW_OFFSET = 2
 if not (CATALOG_ROUND >= 5 and DRIVER_WINDOW_OFFSET == (50 * (CATALOG_ROUND - 4)) % 124):
     # explicit raise, not `assert`: the guard must survive `python -O`
     raise RuntimeError(

@@ -107,24 +107,40 @@ def pin(df: DataFrame) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
+# Attribute stamped on frames materialize() returns, so a frame that
+# flows through TWO pinning operators (e.g. one signature table fed to
+# both lsh_candidate_pairs and minhash_estimate_pairs) is checkpointed
+# once, not once per operator. Python-object-scoped on purpose: any
+# transformation produces a NEW DataFrame without the stamp, which is
+# exactly when the pin no longer covers the plan.
+_DONE_ATTR = "_spark_graft_materialized"
+
+
 def materialize(df: DataFrame) -> DataFrame:
     """Eagerly compute ``df``, cut its lineage, and return a DataFrame
     whose re-scan is cheap — via the process-wide strategy (see module
     docstring). All operators in this package pin intermediates through
     this single chokepoint so deployments can trade speed vs fault
-    tolerance in one place."""
+    tolerance in one place. Idempotent per returned object: passing a
+    frame this function already returned is a no-op, so operators can
+    defensively pin their inputs without double-checkpointing a
+    caller-shared intermediate."""
+    if getattr(df, _DONE_ATTR, False):
+        return df
     mode = _resolve(df)
     if mode == "none":
         return df
     if mode == "local":
-        return df.localCheckpoint(eager=True)
-    if mode == "reliable":
+        out = df.localCheckpoint(eager=True)
+    elif mode == "reliable":
         _checkpoint_dir(df)
-        return df.checkpoint(eager=True)
-    # parquet staging
-    base = _directory or os.path.join(
-        os.environ.get("SPARK_LOCAL_DIRS", "/tmp"), "spark_graft_stage"
-    )
-    path = os.path.join(base, f"stage-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
+        out = df.checkpoint(eager=True)
+    else:  # parquet staging
+        base = _directory or os.path.join(
+            os.environ.get("SPARK_LOCAL_DIRS", "/tmp"), "spark_graft_stage"
+        )
+        path = os.path.join(base, f"stage-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(path)
+        out = df.sparkSession.read.parquet(path)
+    setattr(out, _DONE_ATTR, True)
+    return out

@@ -94,15 +94,22 @@ def quality_score(
     # ^/\s lookarounds, and the token-length sum is the non-\s char
     # count. Values are identical to the lambda forms (verified row-wise
     # on 50k sf1 docs); measured 1.02s -> 0.79s for the feature pass.
-    stop_pat = "(?<=^|\\s)(?:" + "|".join(
-        "\\Q" + s + "\\E" for s in stopwords
-    ) + ")(?=\\s|$)"
     trimmed = F.trim(F.col(text))
+    if stopwords:
+        stop_pat = "(?<=^|\\s)(?:" + "|".join(
+            "\\Q" + s + "\\E" for s in stopwords
+        ) + ")(?=\\s|$)"
+        stop_count = F.regexp_count(trimmed, F.lit(stop_pat))
+    else:
+        # An empty alternation "(?:)" matches the EMPTY string at every
+        # \s-bounded position (counts 1 on empty text, double on "a  b"),
+        # diverging from the lambda form's 0 — short-circuit instead.
+        stop_count = F.lit(0)
     base = df.select(
         F.col(key),
         F.size(toks).cast("long").alias("__ntr__"),
         F.greatest(F.size(toks), F.lit(1)).cast("long").alias("__nt__"),
-        F.regexp_count(trimmed, F.lit(stop_pat)).cast("long").alias("__stop__"),
+        stop_count.cast("long").alias("__stop__"),
         F.size(F.array_distinct(toks)).cast("long").alias("__dist__"),
         F.length(F.regexp_replace(trimmed, r"\s+", ""))
         .cast("long")
@@ -465,15 +472,28 @@ def bm25_topk(
     table doc-partitioned. The explode carries the per-document length
     alongside each token, so tf (doc_id, dl, term, tf) already holds
     everything per-posting scoring needs — there is no corpus-sized dl
-    join. Every other input derives from that pinned table: df and the
-    query-term corpus counts come from ONE vocabulary-sized aggregate
-    (the top-N query terms then carry their own df, a single N-row
-    broadcast), and tot_dl is sum(tf) over the same table (== sum of
-    document lengths). Only n_docs touches the docs scan again — a
-    column-pruned count that must see zero-token documents, which the
-    explode drops. Scoring touches only the tf rows of the few query
-    terms (broadcast-join prune BEFORE the window), and the final top-k
+    join. Every other input derives from that pinned table through ONE
+    vocabulary aggregate (materialized, one row per term): the top-N
+    query terms carry their own df (a single N-row broadcast) and
+    tot_dl is sum(cnt) over the same vocab table — so tf itself is
+    read exactly twice (vocab build + scoring), never three times.
+    Only n_docs touches the docs scan again — a column-pruned count
+    that must see zero-token documents, which the explode drops.
+    Scoring touches only the tf rows of the few query terms
+    (broadcast-join prune BEFORE the window), and the final top-k
     window shuffles just those rows, pre-trimmed by WindowGroupLimit.
+
+    Barrier choice re-adjudicated r9 (tools/decompose_q106.py,
+    interleaved at sf1): eager checkpoint 2.18s, lazy pin/persist
+    1.77s, no barrier 1.84s. pin ~= none is the tell — the lazy cache
+    races its concurrent consumer stages (each computes uncached
+    partitions), so it buys NO single-execution guarantee; the
+    checkpoint's ~0.4s wall premium is the price of tokenizing the
+    corpus exactly once, kept for cluster CPU honesty. Stage account
+    at sf1: tf build 0.83s lazy (+0.16s checkpoint tax), downstream
+    consumers 1.19s — a multi-stage launch floor (vocab agg, qterms
+    sort-limit, n_docs count, broadcast scoring, top-k window) of the
+    q93 class, flat in data size.
 
     The materialize barrier is load-bearing: tf feeds three consumers
     (qterms/df, tot_dl, scoring) whose branch-specific pushed filters
@@ -509,13 +529,23 @@ def bm25_topk(
         toks.groupBy(key, "dl", "term").agg(F.count("*").alias("tf"))
     )
     n_docs = docs.agg(F.count("*").alias("n_docs"))
-    tot_dl = tf.agg(F.sum("tf").alias("tot_dl"))
+    # ONE vocabulary pass over tf serves BOTH tot_dl and the query
+    # terms: sum(cnt) over the vocab aggregate == sum(tf) == total
+    # token mass, so the former full-tf tot_dl pass is gone (r9,
+    # tools/decompose_q106.py: wall wash at sf1 — median delta +0.03s,
+    # rows identical — but one fewer corpus-sized pass over the pinned
+    # tf table; at 100 TB that pass is a full re-read of the
+    # checkpoint, while the vocab table it replaces it with is
+    # vocabulary-sized). The vocab materialize is a tiny barrier (one
+    # row per distinct term) pinning its two consumers.
+    vocab = materialize(
+        tf.groupBy("term").agg(F.count("*").alias("df"), F.sum("tf").alias("cnt"))
+    )
+    tot_dl = vocab.agg(F.sum("cnt").alias("tot_dl"))
     n_and_avg = n_docs.crossJoin(tot_dl)
     stop_arr = F.array(*[F.lit(s) for s in stopwords])
     qterms = (
-        tf.groupBy("term")
-        .agg(F.count("*").alias("df"), F.sum("tf").alias("cnt"))
-        .filter(~F.array_contains(stop_arr, F.col("term")))
+        vocab.filter(~F.array_contains(stop_arr, F.col("term")))
         .orderBy(F.desc("cnt"), F.asc("term"))
         .limit(n_query_terms)
         .select("term", "df")

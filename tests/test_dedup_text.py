@@ -440,3 +440,21 @@ def test_bloom_join_form_equals_literal_form(spark):
     }
     assert join_form == literal_form
     assert all(join_form[f"m{i}"] for i in range(50))
+
+
+def test_quality_score_empty_stopwords_counts_zero(spark):
+    """stopwords=() must short-circuit to 0, not build an empty
+    alternation '(?:)' that matches empty strings at every \\s-bounded
+    position (ADVICE r8: counted 1 on empty text, double on runs of
+    whitespace)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "a  b"), (3, "the cat")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["stopword_ratio"]
+        for r in TX.quality_score(df, stopwords=()).collect()
+    }
+    assert out[1] == 0.0
+    assert out[2] == 0.0
+    assert out[3] == 0.0

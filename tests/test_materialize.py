@@ -109,3 +109,18 @@ def test_operators_run_under_parquet_policy(spark, tmp_path):
     mat.set_materialization("parquet", directory=str(tmp_path / "ccstage"))
     got = _rows(connected_components(edges))
     assert got == expected
+
+
+def test_materialize_idempotent_per_object(df):
+    """A frame materialize() already returned must pass through
+    unchanged (ADVICE r8: one signature table fed to two pinning
+    operators was checkpointed once per operator). Object-scoped on
+    purpose: any transformation strips the stamp."""
+    mat.set_materialization("local")
+    once = mat.materialize(df)
+    again = mat.materialize(once)
+    assert again is once, "second materialize() must be a no-op"
+    # a transformation produces a NEW frame -> eligible to pin again
+    derived = once.select("id")
+    assert not getattr(derived, mat._DONE_ATTR, False)
+    assert mat.materialize(derived) is not derived
