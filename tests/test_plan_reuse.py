@@ -92,3 +92,43 @@ def test_blocking_pairs_plan_reads_checkpoint_not_parquet(spark, tmp_path):
     # the features join is a genuine parquet touch per side (a_*/b_*
     # attachment); the BLOCK pipeline itself must not re-scan
     assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_q89_window_exchange_keys_on_digest(spark):
+    """r9: the chunk-dedup first-occurrence window must shuffle the
+    16-byte md5 digest, never the raw 20-token chunk string (the 100 TB
+    exchange shape; tools/decompose_q89.py for the measurements)."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q89_chunk_dedup"](spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    full = df._jdf.queryExecution().explainString(mode)
+    assert re.search(r"hashpartitioning\(chunk_key#\d+", full), full[:2000]
+    assert "hashpartitioning(chunk_text" not in full, (
+        "raw chunk string reached an exchange"
+    )
+
+
+def test_q80_window_exchange_keys_on_long_digest(spark):
+    """r9: the boilerplate gram window must shuffle the xxhash64 long
+    (#...L in the partitioning expr), not the gram string — the digest
+    won 5/6 paired sf1 runs and sheds ~20B/row of a corpus-sized
+    exchange (tools/decompose_q80.py)."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["q80_boilerplate"](spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    full = df._jdf.queryExecution().explainString(mode)
+    assert re.search(r"hashpartitioning\(shingle#\d+L", full), (
+        "gram exchange is not keyed on the long digest"
+    )
