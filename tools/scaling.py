@@ -241,7 +241,13 @@ def main() -> int:
                 n_super += 1
                 if name in ROW_NOTES:
                     n_annotated += 1
-            cls += ROW_NOTES.get(name, "")
+            # q105's note adjudicates a load-spike OUTLIER: it rides the
+            # row only while the superlinear reading actually reproduces
+            # (a clean re-sweep must not keep a stale outlier note);
+            # q26's note explains a data-inherent baseline and always
+            # applies.
+            if name != "q105_triangle_count" or cls == "SUPERLINEAR":
+                cls += ROW_NOTES.get(name, "")
             lines.append(
                 f"| {name} | {ts[0]:.2f} | {ts[1]:.2f} | {ts[2]:.2f} |"
                 f" {slope:.2f} | {sf1_cell} | {s1000_cell} | {cls} |"
