@@ -495,8 +495,9 @@ def bm25_topk(
     sort-limit, n_docs count, broadcast scoring, top-k window) of the
     q93 class, flat in data size.
 
-    The materialize barrier is load-bearing: tf feeds three consumers
-    (qterms/df, tot_dl, scoring) whose branch-specific pushed filters
+    The materialize barrier is load-bearing: tf feeds its consumers
+    (the vocab aggregate and scoring; tot_dl rode tf directly until
+    r9) whose branch-specific pushed filters
     (e.g. isnotnull(term) from the scoring join) make the subtrees
     canonicalize differently, so ReusedExchange cannot unify them and
     each branch would re-tokenize the corpus. Measured at sf1
