@@ -35,6 +35,22 @@ _DEFAULTS = {
     "spark.sql.ansi.enabled": "false",
     # 128 MB split targets — the right granularity for large parquet scans.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Split small files like a cluster would split big ones. Spark's
+    # maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    # bytes/parallelism)), so openCost is the FLOOR that keeps a small
+    # compute-heavy scan (tokenize costs ~100x the byte decode on the
+    # text tables) glued to 1-2 tasks: at the 4 MB default a 5.8 MB
+    # corpus file gets 2 splits no matter how many cores are idle.
+    # 512 KB lets it split to its row groups while the formula's
+    # bytes/parallelism term still self-scales big tables to ~cores
+    # splits. Measured (r9, interleaved single-session A/B): q89 at sf1
+    # 1.17s -> 0.71s; whole-catalog sf0.1 total a wash (80.6 vs 80.8s)
+    # with no row slower by >0.3s. Object-store deployments where a
+    # file OPEN costs real latency can restore the 4 MB default via
+    # SPARK_GRAFT_OPEN_COST.
+    "spark.sql.files.openCostInBytes": os.environ.get(
+        "SPARK_GRAFT_OPEN_COST", "524288"
+    ),
     # Broadcast threshold: dimension tables (region/nation/mappers) are
     # small even at sf=100TB fact scale; 64 MB keeps them map-side.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
