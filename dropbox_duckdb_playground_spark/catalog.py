@@ -5036,13 +5036,15 @@ def q104_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q105_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count over the part co-purchase graph (parts
-    sharing an order), via degree-ordered orientation
-    (operators/components.triangle_count — Suri & Vassilvitskii's
-    MapReduce algorithm). Orientation caps per-node out-degree at
-    O(sqrt(m)), so the wedge self-join is O(m^1.5) even on power-law
-    degree distributions — the property that makes triangle counting
-    feasible at 100 TB where the naive three-way join explodes on hub
-    nodes."""
+    sharing an order), via degree-ordered orientation + edge-iterator
+    adjacency intersection (operators/components.triangle_count).
+    Orientation caps per-node out-degree at O(sqrt(m)) even on
+    power-law degree distributions, and the r9 edge-iterator form
+    keeps the O(m^1.5) term as per-row array-intersection compute
+    instead of a shuffled wedge stream (41M wedge rows for 1.2M edges
+    at sf0.1; measured 5.9s -> 3.4s) — the properties that make
+    triangle counting feasible at 100 TB where the naive three-way
+    join explodes on hub nodes."""
     from dropbox_duckdb_playground_spark.operators.components import triangle_count
 
     l1 = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")

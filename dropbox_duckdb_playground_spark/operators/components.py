@@ -434,20 +434,55 @@ def pagerank(
     return r.select("node", F.col("r").alias("rank"))
 
 
-def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Exact triangle count via degree-ordered orientation (the classic
-    MapReduce/GraphX algorithm: Suri & Vassilvitskii WWW'11 "Counting
-    triangles and the curse of the last reducer").
+def triangle_count(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    broadcast_edge_limit: int = 4_000_000,
+) -> DataFrame:
+    """Exact triangle count via degree-ordered orientation + the
+    edge-iterator ("forward") formulation (Suri & Vassilvitskii WWW'11
+    for the orientation; Chiba & Nishizeki '85 / Schank & Wagner '05
+    for edge-iterator with adjacency intersection).
 
-    Each undirected edge is oriented from its lower-(degree, id) endpoint
-    to the higher one, which caps every node's OUT-degree at O(sqrt(m))
-    regardless of how skewed the raw degree distribution is — the wedge
-    self-join below is therefore sum(outdeg^2) = O(m^1.5) worst case
-    instead of sum(deg^2), which is the difference between feasible and
-    not on a power-law graph at 100 TB. Plan: one distinct shuffle to
-    canonicalize edges, one degree agg (node-sized, broadcast), a wedge
-    self-join on the spoke node, and one final join probing wedges
-    against the oriented edge set. Returns a single row (n_triangles).
+    Each undirected edge is oriented from its lower-(degree, id)
+    endpoint to the higher one, which caps every node's OUT-degree at
+    O(sqrt(m)) regardless of how skewed the raw degree distribution is.
+    Under the resulting TOTAL order every triangle {a,b,c} (tau-sorted)
+    is the acyclic a->b, a->c, b->c, so
+    n_triangles = sum over oriented edges (x,y) of |N+(x) & N+(y)| —
+    each triangle counted exactly once, at its lowest edge.
+
+    Physical strategy is SIZE-GATED on ``broadcast_edge_limit``
+    (~16 bytes/adjacency entry -> 64MB at the 4M default), because the
+    two formulations win in DIFFERENT regimes (both measured r9, counts
+    verified identical to the oracle):
+
+    - m <= limit (adjacency fits a broadcast): build out-adjacency
+      arrays in ONE m-row shuffle (arrays bounded at O(sqrt(m)) entries
+      by the orientation — no monster rows on power-law graphs), hang
+      both endpoints' arrays on each edge via broadcast joins, sum a
+      codegen'd size(array_intersect). NO wedge rows materialize or
+      shuffle. Paired A/B at sf0.1 (1.2M edges, 41M wedges): 3.4s vs
+      the wedge form's 5.9s, every pair.
+    - m > limit: enumerate the wedge stream and probe it against the
+      oriented edge set (shuffle_hash). At sf1 (12M edges on the
+      saturated co-purchase graph) the intersect form measured 83s vs
+      ~32s for this form: per-edge hash-intersection pays
+      sum(d_in(y)*d_out(y)) element probes with a hashset REBUILT per
+      edge, while the shuffle machinery sorts the equivalent wedge
+      stream once — same O(m^1.5) bound, very different constants at
+      scale. The gate criterion is a physical property (adjacency
+      broadcastability), not a tuned constant.
+
+    Also measured and REJECTED at r9: broadcasting the oriented edge
+    list itself for the wedge join (median 1.6s WORSE at sf0.1 —
+    per-run broadcast build/serialize dominates). The intersect hang is
+    an INNER join on purpose: edges whose head has no out-neighbors
+    close nothing, and the null-array alternative silently returns
+    size()=-1 under Spark's legacy sizeOfNull (ANSI off) — a measured
+    wrong-answer trap (it undercounted by exactly the leaf-head edge
+    count until caught against the oracle).
 
     Ties in degree break by node id, so the orientation — and the count
     path, though the COUNT itself is orientation-invariant — is fully
@@ -486,6 +521,31 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .select("e.u", "e.v")
     )
     oriented = materialize(oriented)
+    if oriented.count() <= broadcast_edge_limit:
+        # Broadcast regime: out-adjacency arrays (bounded O(sqrt(m))
+        # entries by the orientation) hang on both edge endpoints via
+        # broadcast joins, and size(array_intersect) sums the closures
+        # — NO wedge rows materialize or shuffle.
+        adj = materialize(
+            oriented.groupBy("u").agg(
+                F.sort_array(F.collect_list("v")).alias("nbrs")
+            )
+        )
+        a1 = adj.select(F.col("u").alias("x"), F.col("nbrs").alias("nx"))
+        a2 = adj.select(F.col("u").alias("y"), F.col("nbrs").alias("ny"))
+        closed = (
+            oriented.join(F.broadcast(a1), F.col("u") == F.col("x"))
+            # INNER: a head with no out-edges closes nothing (and a
+            # null array would hit the legacy size()=-1 trap —
+            # docstring)
+            .join(F.broadcast(a2), F.col("v") == F.col("y"))
+            .select(F.size(F.array_intersect("nx", "ny")).alias("c"))
+        )
+        return closed.agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles")
+        )
+    # Shuffle regime: enumerate the wedge stream and probe it against
+    # the oriented edge set.
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     # wedges centered at u: pairs of out-neighbors (v < w keeps each once)

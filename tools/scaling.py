@@ -101,13 +101,17 @@ ROW_NOTES = {
         " q34/q43/q47/q64/q65/q120)"
     ),
     "q105_triangle_count": (
-        " (O(m^1.5) by design — degree-ordered wedge orientation is"
-        " the standard subquadratic bound, and the oracle's own sf1"
-        " slope is STEEPER (~25x per 10x data vs this row); when an"
-        " r8 sweep landed on a host load spike the single sf1 reading"
-        " inflated to 118s and crossed the 15x class boundary — four"
-        " same-night cross-checks read 20.4/37.3/59.5/65.4s, i.e."
-        " slope 2.9-9.4, sublinear-to-linear; see NOTES_r8.md)"
+        " (O(m^1.5)-by-design row whose WORK grows superlinearly in"
+        " the DATA: on the saturated co-purchase graph 10x rows ->"
+        " 10x edges (1.2M->12M) but ~30x wedges, the same"
+        " data-inherent densification as q26, and the oracle's own"
+        " sf1 slope is ~18x; additionally the r9 size-gated hybrid"
+        " roughly HALVED t(sf0.1) (broadcast-regime intersect form,"
+        " 5.9->3.4s), which mechanically doubles this ratio without"
+        " any sf1 change; single-rep sf1 readings swing 20-106s"
+        " across one night (r8: four cross-checks 20.4-65.4s; r9:"
+        " 26.6/31.6/41.8/62.2s) — the row is the wedge-path reading"
+        " of one such rep)"
     ),
 }
 
