@@ -3269,10 +3269,16 @@ def q80_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     so a collision would merge two grams' doc-counts: negligible below
     ~10^8 distinct grams (P < 1e-9 at 64 bits; this corpus has ~30k);
     a corpus with truly huge gram cardinality widens the key to
-    unhex(md5(...)) — same plan, 16-byte key."""
+    unhex(md5(...)) — same plan, 16-byte key — via
+    ``SPARK_GRAFT_GRAM_KEY_BITS=128`` (r9 ADVICE: opt-in switch, not a
+    code edit; any value other than 128 keeps the 64-bit key)."""
     d = load(spark, sf_dir, "documents")
     sh = D.shingles(d, n=3)  # distinct (doc_id, shingle)
-    sh = sh.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    if os.environ.get("SPARK_GRAFT_GRAM_KEY_BITS") == "128":
+        gram_key = F.unhex(F.md5("shingle"))
+    else:
+        gram_key = F.xxhash64("shingle")
+    sh = sh.select("doc_id", gram_key.alias("shingle"))
     wdf = sh.withColumn(
         "n_docs", F.count("*").over(Window.partitionBy("shingle"))
     )
@@ -6334,8 +6340,8 @@ def q124_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_r08 — every catalog query is now driver-certified at
 # least once. r9 (offset 2) re-certifies q03..q52, continuing the
 # steady-state cycle.
-CATALOG_ROUND = 9
-DRIVER_WINDOW_OFFSET = 2
+CATALOG_ROUND = 10
+DRIVER_WINDOW_OFFSET = 52
 if not (CATALOG_ROUND >= 5 and DRIVER_WINDOW_OFFSET == (50 * (CATALOG_ROUND - 4)) % 124):
     # explicit raise, not `assert`: the guard must survive `python -O`
     raise RuntimeError(

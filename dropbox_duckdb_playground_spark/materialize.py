@@ -107,12 +107,18 @@ def pin(df: DataFrame) -> DataFrame:
     return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
-# Attribute stamped on frames materialize() returns, so a frame that
-# flows through TWO pinning operators (e.g. one signature table fed to
-# both lsh_candidate_pairs and minhash_estimate_pairs) is checkpointed
-# once, not once per operator. Python-object-scoped on purpose: any
-# transformation produces a NEW DataFrame without the stamp, which is
-# exactly when the pin no longer covers the plan.
+# Attribute stamped on frames materialize() returns — holds the RESOLVED
+# mode string ('local'/'reliable'/'parquet'), not a bare True — so a frame
+# that flows through TWO pinning operators (e.g. one signature table fed
+# to both lsh_candidate_pairs and minhash_estimate_pairs) is checkpointed
+# once, not once per operator, AND a frame pinned under a weaker policy is
+# re-materialized when set_materialization() has since switched the
+# process to a stronger one (stamp 'local' != resolved 'reliable' ->
+# re-checkpoint). Python-object-scoped on purpose: any transformation
+# produces a NEW DataFrame without the stamp, which is exactly when the
+# pin no longer covers the plan. Read through df.__dict__ (never getattr):
+# DataFrame.__getattr__ resolves unknown attributes as COLUMNS, so a table
+# with a column literally named like the stamp must not be reachable.
 _DONE_ATTR = "_spark_graft_materialized"
 
 
@@ -121,13 +127,15 @@ def materialize(df: DataFrame) -> DataFrame:
     whose re-scan is cheap — via the process-wide strategy (see module
     docstring). All operators in this package pin intermediates through
     this single chokepoint so deployments can trade speed vs fault
-    tolerance in one place. Idempotent per returned object: passing a
-    frame this function already returned is a no-op, so operators can
-    defensively pin their inputs without double-checkpointing a
-    caller-shared intermediate."""
-    if getattr(df, _DONE_ATTR, False):
-        return df
+    tolerance in one place. Idempotent per returned object AND per
+    resolved mode: passing a frame this function already returned under
+    the same policy is a no-op, so operators can defensively pin their
+    inputs without double-checkpointing a caller-shared intermediate;
+    a frame stamped under a different (e.g. weaker) policy is
+    re-materialized under the current one."""
     mode = _resolve(df)
+    if df.__dict__.get(_DONE_ATTR) == mode:
+        return df
     if mode == "none":
         return df
     if mode == "local":
@@ -142,5 +150,5 @@ def materialize(df: DataFrame) -> DataFrame:
         path = os.path.join(base, f"stage-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(path)
         out = df.sparkSession.read.parquet(path)
-    setattr(out, _DONE_ATTR, True)
+    out.__dict__[_DONE_ATTR] = mode
     return out

@@ -47,16 +47,40 @@ _DEFAULTS = {
     # 1.17s -> 0.71s; whole-catalog sf0.1 total a wash (80.6 vs 80.8s)
     # with no row slower by >0.3s. Object-store deployments where a
     # file OPEN costs real latency can restore the 4 MB default via
-    # SPARK_GRAFT_OPEN_COST.
-    "spark.sql.files.openCostInBytes": os.environ.get(
-        "SPARK_GRAFT_OPEN_COST", "524288"
-    ),
+    # SPARK_GRAFT_OPEN_COST — resolved at get_spark() call time (not
+    # module import) by _open_cost() below.
+    "spark.sql.files.openCostInBytes": "524288",
     # Broadcast threshold: dimension tables (region/nation/mappers) are
     # small even at sf=100TB fact scale; 64 MB keeps them map-side.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
     "spark.sql.sources.partitionOverwriteMode": "dynamic",
 }
+
+
+def _open_cost() -> str:
+    """Resolve ``SPARK_GRAFT_OPEN_COST`` at call time (so setting the env
+    var after import still takes effect) and validate it parses as a
+    non-negative integer byte count; malformed values fall back to the
+    measured 512 KB default with a warning rather than crashing session
+    construction or silently shipping garbage to Spark."""
+    raw = os.environ.get("SPARK_GRAFT_OPEN_COST")
+    if raw is None:
+        return _DEFAULTS["spark.sql.files.openCostInBytes"]
+    try:
+        val = int(raw)
+        if val < 0:
+            raise ValueError
+    except ValueError:
+        import warnings
+
+        warnings.warn(
+            f"SPARK_GRAFT_OPEN_COST={raw!r} is not a non-negative integer; "
+            "using default 524288",
+            stacklevel=3,
+        )
+        return _DEFAULTS["spark.sql.files.openCostInBytes"]
+    return str(val)
 
 
 def s3a_conf(
@@ -179,6 +203,7 @@ def get_spark(
 
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_DEFAULTS)
+    conf["spark.sql.files.openCostInBytes"] = _open_cost()
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     # local mode: driver is the only JVM — give it the memory.
     if master.startswith("local"):

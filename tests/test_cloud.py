@@ -73,3 +73,23 @@ def test_engine_over_scheme_uri_roundtrip(spark, tmp_path):
     assert "t1" in eng2
     assert eng2.table("t1").count() == 10
     assert sorted(_hadoop_ls(spark, f"file://{tmp_path}")) == ["t1.parquet"]
+
+
+def test_open_cost_env_resolved_at_call_time(monkeypatch):
+    """r9 ADVICE: SPARK_GRAFT_OPEN_COST must be read when the session
+    builder runs (not at module import) and validated as an integer,
+    falling back to the measured 512 KB default on garbage."""
+    import warnings
+
+    from dropbox_duckdb_playground_spark.session import _open_cost
+
+    monkeypatch.delenv("SPARK_GRAFT_OPEN_COST", raising=False)
+    assert _open_cost() == "524288"
+    monkeypatch.setenv("SPARK_GRAFT_OPEN_COST", "4194304")
+    assert _open_cost() == "4194304"  # set AFTER import -> still honored
+    for bad in ("4MB", "", "-1", "1.5e6"):
+        monkeypatch.setenv("SPARK_GRAFT_OPEN_COST", bad)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assert _open_cost() == "524288"
+        assert any("SPARK_GRAFT_OPEN_COST" in str(x.message) for x in w)

@@ -122,5 +122,34 @@ def test_materialize_idempotent_per_object(df):
     assert again is once, "second materialize() must be a no-op"
     # a transformation produces a NEW frame -> eligible to pin again
     derived = once.select("id")
-    assert not getattr(derived, mat._DONE_ATTR, False)
+    assert not derived.__dict__.get(mat._DONE_ATTR, False)
     assert mat.materialize(derived) is not derived
+
+
+def test_materialize_policy_switch_repins(df, tmp_path):
+    """r9 ADVICE: the stamp holds the RESOLVED mode, so a frame pinned
+    under 'local' is re-materialized when the process switches to
+    'parquet' — it must not silently keep the weaker materialization."""
+    mat.set_materialization("local")
+    local_pinned = mat.materialize(df)
+    assert local_pinned.__dict__[mat._DONE_ATTR] == "local"
+    mat.set_materialization("parquet", directory=str(tmp_path / "switch"))
+    repinned = mat.materialize(local_pinned)
+    assert repinned is not local_pinned, "policy switch must re-materialize"
+    assert repinned.__dict__[mat._DONE_ATTR] == "parquet"
+    assert list((tmp_path / "switch").glob("stage-*")), "no parquet staging"
+    # and idempotent again under the NEW policy
+    assert mat.materialize(repinned) is repinned
+    assert _rows(repinned) == _rows(df)
+
+
+def test_stamp_column_name_collision_safe(spark):
+    """r9 ADVICE: a table with a column literally named like the stamp
+    must not trip DataFrame.__getattr__ column resolution (getattr on an
+    unstamped frame used to return a Column whose truthiness raises)."""
+    mat.set_materialization("local")
+    tricky = spark.range(3).withColumn(mat._DONE_ATTR, F.lit("local"))
+    out = mat.materialize(tricky)  # must not raise, must actually pin
+    assert out is not tricky
+    assert out.__dict__[mat._DONE_ATTR] == "local"
+    assert _rows(out) == _rows(tricky)

@@ -95,6 +95,15 @@ def main() -> int:
 
     total_s = sum(sq[n] for n in names)
     total_o = sum(oq[n] for n in names)
+    # Headline denominator: the BEST oracle total the artifact records.
+    # The r9 driver run read warm (100.1s) > cold (68.2s) — host drift
+    # inside the bench — so taking the warm column blindly would flatter
+    # the ratio; min() keeps the conservative honest denominator
+    # (r9 VERDICT item 3).
+    oracle_candidates = [total_o] + [
+        b[k] for k in ("oracle_total_cold", "oracle_total_warm") if k in b
+    ]
+    total_o_best = min(oracle_candidates)
     total_data = sum(r[3] for r in rows)
     floor_total = floor * len(names)
     hs = [(n, HANDSHAKE[n]) for n in names if n in HANDSHAKE]
@@ -105,15 +114,21 @@ def main() -> int:
         f"Derived from `{os.path.basename(path)}` (sf={b.get('sf')}) by",
         "`tools/ratio.py`; re-run it after any bench to regenerate.",
         "",
-        f"- Spark total: **{total_s:.1f}s**, oracle warm total:"
-        f" **{total_o:.1f}s** -> ratio **{total_s / total_o:.2f}x**",
+        f"- Spark total: **{total_s:.1f}s**, oracle best total"
+        f" (min of warm {total_o:.1f}s"
+        + (f", cold {b['oracle_total_cold']:.1f}s"
+           if "oracle_total_cold" in b else "")
+        + f"): **{total_o_best:.1f}s** -> ratio"
+        f" **{total_s / total_o_best:.2f}x**",
         f"- Estimated per-query floor (median Spark time of the 25"
         f" oracle-cheapest queries): **{floor:.2f}s**; x{len(names)}"
         f" queries = **{floor_total:.1f}s** of the Spark total"
         f" ({100 * floor_total / total_s:.0f}%).",
         f"- Residual (data) time: **{total_data:.1f}s** vs oracle"
-        f" {total_o:.1f}s -> **data-time ratio"
-        f" {total_data / total_o:.2f}x**.",
+        f" per-query (warm) total {total_o:.1f}s -> **data-time ratio"
+        f" {total_data / total_o:.2f}x** (per-query oracle times exist"
+        f" only for the warm pass, so the decomposition below uses the"
+        f" warm column even when the cold total is smaller).",
         "",
         "The floor is a local[32] artifact: job submission + 32-task",
         "stage launch + noop commit per query. On a cluster it amortizes",

@@ -1,24 +1,35 @@
-"""Steady-state sf1 bench: warm best-of-2 seconds for BOTH engines
-(Spark noop-write vs DuckDB oracle fetchall) on the sf1 mirror rows.
+"""Steady-state sf1 bench — DRIFT-PROOF protocol (r10).
 
-Exists to reconcile two committed-but-differently-conditioned numbers:
-SCALING.md's sf1 column is warm best-of-N in a long-lived session,
-while the sf1 correctness mirror runs each query as a COLD single-shot
-subprocess (JVM start + JIT + first-scan page-cache misses) — q92 read
-6.3s in one and 199.2s in the other. This tool puts both engines on
-the same steady-state footing (shape-warmed session, best of 2) and
-writes ONE JSON artifact the 100 TB amortization argument can cite.
+The r9 artifact ran every Spark row first, then every oracle row: on a
+host whose background load drifted over the night, three runs of the
+SAME code+data read 83.3s / 107.0s / 148.2s total while the oracle
+column moved 463 -> 538 -> 448s, and per-query ratios (q106 9.67x vs
+SCALING's same-night slope-1.14 reading) became committed noise. The
+fix is the protocol every decision-grade comparison in this repo
+already uses (tools/decompose_*.py): INTERLEAVE the engines per query
+— spark rep, oracle rep, spark rep, oracle rep, all within a ~minute
+window — so host drift hits both columns of a row equally, and commit
+the MEDIAN of reps plus the spread and a loadavg stamp so a reader can
+see whether a row is trustworthy without archaeology.
+
+Per query:
+  1. shape-warm Spark on sf0.01 (JIT/codegen, untimed)
+  2. rep loop (default 2): timed Spark noop-write on sf1, then a timed
+     DuckDB subprocess run on the same sf1 parquet (page cache shared)
+  3. record per-engine rep lists, medians, relative spread, loadavg
 
 Excluded rows mirror tools/sf1_mirror.EXCLUDED (output-size-infeasible
 uncapped baselines), recorded in the artifact with their reasons.
 
-Usage: python tools/sf1_bench.py [out_json]   (default SF1_BENCH.json)
+Usage: python tools/sf1_bench.py [out_json] [query ...]
+       (default SF1_BENCH.json, all SF1_QUERIES)
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -32,45 +43,70 @@ from sf1_mirror import EXCLUDED  # noqa: E402
 
 SF1 = os.path.join(REPO, "testdata_sf1")
 SF_WARM = "/root/testdata/sf0.01"
-ORACLE_TIMEOUT = 900  # seconds per query subprocess (2 reps inside)
+ORACLE_TIMEOUT = 900  # seconds per oracle rep subprocess
+REPS = 2
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# One timed run per subprocess: the rep cadence (and hence warm/cold
+# mix) is controlled by the interleaving loop below, not hidden inside
+# a best-of-N here. Page cache is shared with the Spark reps that run
+# seconds earlier on the same files, so rep 1 is storage-warm.
 _ORACLE_RUNNER = r"""
 import json, os, sys, time
 import duckdb
 sf1, sql = sys.argv[1], sys.stdin.read()
 con = duckdb.connect()
-# long queries trigger duckdb's stdout progress bar, which would glue
-# itself to the JSON line below
 con.execute("SET enable_progress_bar = false")
 for t in %r:
     p = os.path.join(sf1, f"{t}.parquet")
     if os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
-best = None
-for _ in range(2):
-    t0 = time.time()
-    con.execute(sql).fetchall()
-    dt = time.time() - t0
-    best = dt if best is None else min(best, dt)
-print(json.dumps({"oracle": round(best, 3)}))
+t0 = time.time()
+con.execute(sql).fetchall()
+print(json.dumps({"oracle": round(time.time() - t0, 3)}))
 """ % (TABLES,)
 
 
+def _oracle_rep(sql: str) -> tuple[float | None, str | None]:
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _ORACLE_RUNNER, SF1],
+            input=sql,
+            capture_output=True,
+            text=True,
+            timeout=ORACLE_TIMEOUT,
+            cwd=REPO,
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"timeout >{ORACLE_TIMEOUT}s"
+    if r.returncode != 0:
+        return None, r.stderr.strip()[-200:]
+    payload = r.stdout.strip()
+    return json.loads(payload[payload.rfind("{"):])["oracle"], None
+
+
+def _spread(reps: list[float]) -> float:
+    med = statistics.median(reps)
+    return round((max(reps) - min(reps)) / max(med, 1e-9), 3)
+
+
 def main() -> int:
-    out_json = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
-        REPO, "SF1_BENCH.json"
-    )
+    args = sys.argv[1:]
+    out_json = os.path.join(REPO, "SF1_BENCH.json")
+    if args and args[0].endswith(".json"):
+        out_json = args.pop(0)
     import __spark_entry__ as entrymod
     from dropbox_duckdb_playground_spark.session import get_spark, quiesce
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = [q for q in SF1_QUERIES if q in qs and q not in EXCLUDED]
+    if args:
+        names = [q for q in names if q in args]
 
     spark = get_spark("sf1bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -89,54 +125,47 @@ def main() -> int:
         if i % 6 == 0:
             fresh_session()
         fn = qs[name]
+        sql = oracles.get(name)
+        row: dict = {"loadavg": round(os.getloadavg()[0], 2)}
+        spark_reps: list[float] = []
+        oracle_reps: list[float] = []
         try:
             fn(spark, SF_WARM).write.format("noop").mode("overwrite").save()
             quiesce(spark)
-            best = None
-            for _ in range(2):
+            for _ in range(REPS):
                 t0 = time.time()
                 fn(spark, SF1).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+                spark_reps.append(time.time() - t0)
                 quiesce(spark)
-            results[name] = {"spark": round(best, 3)}
-            if best > 15:
+                if sql is not None and "oracle_err" not in row:
+                    o, err = _oracle_rep(sql)
+                    if err is not None:
+                        row["oracle_err"] = err
+                    else:
+                        oracle_reps.append(o)
+            row["spark"] = round(statistics.median(spark_reps), 3)
+            row["spark_reps"] = [round(x, 3) for x in spark_reps]
+            row["spark_spread"] = _spread(spark_reps)
+            if spark_reps and max(spark_reps) > 15:
                 fresh_session()
         except Exception as exc:
-            results[name] = {"spark": None, "spark_err": str(exc)[:200]}
+            row["spark"] = None
+            row["spark_err"] = str(exc)[:200]
             fresh_session()
-        print(f"SF1BENCH {name}: spark={results[name].get('spark')}", flush=True)
-
-    for name in names:
-        sql = oracles.get(name)
         if sql is None:
-            results[name]["oracle"] = None
-            results[name]["oracle_err"] = "rows-only query (no oracle)"
-            continue
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", _ORACLE_RUNNER, SF1],
-                input=sql,
-                capture_output=True,
-                text=True,
-                timeout=ORACLE_TIMEOUT,
-                cwd=REPO,
-            )
-            if r.returncode == 0:
-                # parse from the last '{' — belt-and-braces against any
-                # residual engine chatter on stdout
-                payload = r.stdout.strip()
-                results[name]["oracle"] = json.loads(
-                    payload[payload.rfind("{"):]
-                )["oracle"]
-            else:
-                results[name]["oracle"] = None
-                results[name]["oracle_err"] = r.stderr.strip()[-200:]
-        except subprocess.TimeoutExpired:
-            results[name]["oracle"] = None
-            results[name]["oracle_err"] = f"timeout >{ORACLE_TIMEOUT}s"
+            row["oracle"] = None
+            row["oracle_err"] = "rows-only query (no oracle)"
+        elif oracle_reps:
+            row["oracle"] = round(statistics.median(oracle_reps), 3)
+            row["oracle_reps"] = [round(x, 3) for x in oracle_reps]
+            row["oracle_spread"] = _spread(oracle_reps)
+        else:
+            row["oracle"] = None
+            row.setdefault("oracle_err", "no successful oracle rep")
+        results[name] = row
         print(
-            f"SF1BENCH {name}: oracle={results[name].get('oracle')}",
+            f"SF1BENCH {name}: spark={row.get('spark')} "
+            f"oracle={row.get('oracle')} load={row['loadavg']}",
             flush=True,
         )
 
@@ -149,8 +178,12 @@ def main() -> int:
         "metric": "sf1_steady_state_wall",
         "unit": "sec",
         "sf": 1,
-        "protocol": "shape-warmed session, best-of-2 per engine; "
-        "Spark noop write vs DuckDB fetchall on the same parquet",
+        "protocol": (
+            "interleaved per query (spark rep / oracle rep alternating in "
+            f"one ~minute window), median of {REPS} reps per engine, "
+            "shape-warmed Spark session, noop write vs DuckDB fetchall on "
+            "the same sf1 parquet; per-row loadavg + rep spread recorded"
+        ),
         "spark_total": round(sum(s for s, _ in both), 3),
         "oracle_total": round(sum(o for _, o in both), 3),
         "ratio": round(
