@@ -31,6 +31,7 @@ Usage: python tools/scaling.py [out_md] [--no-sf1]   (writes SCALING.md)
 from __future__ import annotations
 
 import os
+import statistics
 import sys
 import time
 
@@ -110,8 +111,8 @@ ROW_NOTES = {
         " 5.9->3.4s), which mechanically doubles this ratio without"
         " any sf1 change; single-rep sf1 readings swing 20-106s"
         " across one night (r8: four cross-checks 20.4-65.4s; r9:"
-        " 26.6/31.6/41.8/62.2s) — the row is the wedge-path reading"
-        " of one such rep)"
+        " 26.6/31.6/41.8/62.2s) — since r10 the sf1 cell is the"
+        " median of 3 in-session reps rather than one such coin-flip)"
     ),
 }
 
@@ -136,19 +137,21 @@ def main() -> int:
             pass
         quiesce(spark)
 
-    def run(fn, sf, name, reps=2):
-        best = -1.0
+    def run(fn, sf, name, reps=2, agg="best"):
+        times: list[float] = []
         for _ in range(reps):
             t0 = time.time()
             try:
                 fn(spark, sf).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                best = dt if best < 0 else min(best, dt)
+                times.append(time.time() - t0)
             except Exception as exc:
                 sys.stderr.write(f"scaling: {name}@{sf}: {exc}\n")
                 break
             quiesce(spark)
-        return round(best, 3)
+        if not times:
+            return -1.0
+        val = statistics.median(times) if agg == "median" else min(times)
+        return round(val, 3)
 
     def fresh_session():
         # Restart the JVM-side session between scale-factor sweeps: after
@@ -190,9 +193,12 @@ def main() -> int:
             except Exception:
                 pass
             quiesce(spark)
-            # single rep: sf1 runs are long enough that scheduler
-            # noise is a small relative error
-            sf1_times[name] = run(qs[name], SF1, name, reps=1)
+            # median of 3 in-session reps (r9 VERDICT item 5): a single
+            # sf1 rep proved to be a coin-flip on the volatile rows —
+            # q105 swung 26.6-77.5s in one night and the committed cell
+            # was the worst reading. The median absorbs one bad rep and
+            # the rep count is stated in the artifact header.
+            sf1_times[name] = run(qs[name], SF1, name, reps=3, agg="median")
             if sf1_times[name] > 15:
                 # a heavy row (the uncapped q26 baseline runs ~50s at
                 # sf1) leaves GC/shuffle-tracker state that inflates
@@ -206,7 +212,9 @@ def main() -> int:
         "# SCALING — measured growth of every query across 100x of data",
         "(+ an sf1 column: 1000x, synthesized via tools/gen_sf1.py)",
         "",
-        "Best-of-2 steady-state seconds per scale factor"
+        "Best-of-2 steady-state seconds per scale factor (sf1 column:",
+        "MEDIAN of 3 in-session reps — single-rep sf1 cells proved to be",
+        "coin-flips on the volatile rows)"
         " (`tools/scaling.py`, local[32]). `slope10` = t(sf0.1)/t(sf0.01):",
         "the wall-cost multiplier for the last 10x of data; `slope1000` =",
         "t(sf1)/t(sf0.1) where measured. A query whose",

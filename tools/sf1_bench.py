@@ -44,7 +44,12 @@ from sf1_mirror import EXCLUDED  # noqa: E402
 SF1 = os.path.join(REPO, "testdata_sf1")
 SF_WARM = "/root/testdata/sf0.01"
 ORACLE_TIMEOUT = 900  # seconds per oracle rep subprocess
-REPS = 2
+# 3 reps, not 2: the median of TWO reps is their mean, so a single
+# transient host event poisons the row (first r10 run: q91's spark reps
+# read [4.8, 48.9] while a 4-rep isolation probe read 4.4/2.3/2.9/2.0 —
+# the 48.9 was the host, not the plan). A true median of 3 absorbs one
+# outlier rep per engine per row.
+REPS = 3
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
