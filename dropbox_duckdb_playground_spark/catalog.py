@@ -3271,7 +3271,20 @@ def q80_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     a corpus with truly huge gram cardinality widens the key to
     unhex(md5(...)) — same plan, 16-byte key — via
     ``SPARK_GRAFT_GRAM_KEY_BITS=128`` (r9 ADVICE: opt-in switch, not a
-    code edit; any value other than 128 keeps the 64-bit key)."""
+    code edit; any value other than 128 keeps the 64-bit key).
+
+    Measured dead-end (r10, tools/decompose_q80b.py, fingerprints
+    equal, interleaved 3-rep medians at sf1): replacing the window
+    with a map-side-combined gram aggregate + BROADCAST join — which
+    removes the corpus-shingle-sized gram exchange AND WindowExec's
+    sort — is a dead heat (window 1.917s, join-with-2x-tokenize
+    1.915s, join-over-checkpoint 1.909s): the shingle map that the
+    join forms pay twice (or checkpoint) costs exactly what the
+    exchange+sort they save does, at this corpus's ~180 grams/doc.
+    The window form stays (one tokenize, no broadcast-size
+    assumption); on a network-bound cluster where shuffle bytes
+    dominate CPU, the checkpoint+broadcast form is the documented
+    escape hatch if gram cardinality fits the broadcast threshold."""
     d = load(spark, sf_dir, "documents")
     sh = D.shingles(d, n=3)  # distinct (doc_id, shingle)
     if os.environ.get("SPARK_GRAFT_GRAM_KEY_BITS") == "128":
