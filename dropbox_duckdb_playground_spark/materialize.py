@@ -43,6 +43,14 @@ _VALID = ("auto", "local", "reliable", "parquet", "none")
 _mode: str | None = None  # None -> read env each call (test-friendly)
 _directory: str | None = None
 
+# Every staging directory materialize() has written under the 'parquet'
+# policy and not yet released. Without tracking, a long-lived session
+# leaks one stage-<uuid> directory per pinned intermediate — unbounded
+# storage growth on a cluster running thousands of queries against an
+# object store. session.quiesce() drains this via clear_staging()
+# between independent queries, when the staged frames are dead.
+_staged_paths: list[str] = []
+
 
 def set_materialization(mode: str, directory: str | None = None) -> None:
     """Set the process-wide materialization strategy.
@@ -150,5 +158,38 @@ def materialize(df: DataFrame) -> DataFrame:
         path = os.path.join(base, f"stage-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(path)
         out = df.sparkSession.read.parquet(path)
+        _staged_paths.append(path)
     out.__dict__[_DONE_ATTR] = mode
     return out
+
+
+def clear_staging(spark=None) -> int:
+    """Delete every staging directory this process has written under
+    the ``parquet`` policy and forget them. Returns how many were
+    removed.
+
+    Call ONLY between independent queries (after the frames reading
+    those files are dead) — ``session.quiesce()`` does exactly that.
+    Scheme-aware: plain paths go through ``shutil``; ``scheme://``
+    paths need ``spark`` for the Hadoop FileSystem connector (s3a/gs/
+    hdfs) and are kept (not forgotten) if no session is given, so a
+    later call can still release them."""
+    import shutil
+
+    removed = 0
+    kept: list[str] = []
+    for path in _staged_paths:
+        if "://" in path:
+            if spark is None:
+                kept.append(path)
+                continue
+            jvm = spark.sparkContext._jvm
+            hconf = spark.sparkContext._jsc.hadoopConfiguration()
+            p = jvm.org.apache.hadoop.fs.Path(path)
+            p.getFileSystem(hconf).delete(p, True)
+            removed += 1
+        else:
+            shutil.rmtree(path, ignore_errors=True)
+            removed += 1
+    _staged_paths[:] = kept
+    return removed

@@ -254,7 +254,13 @@ def quiesce(spark: SparkSession) -> None:
     """
     import gc
 
+    from dropbox_duckdb_playground_spark.materialize import clear_staging
+
     clear_persisted(spark)
     spark.catalog.clearCache()
+    # parquet-policy staging dirs from the finished query are dead now —
+    # without this a long-lived session leaks one directory per pinned
+    # intermediate (see materialize.clear_staging).
+    clear_staging(spark)
     gc.collect()
     spark.sparkContext._jvm.System.gc()

@@ -143,6 +143,42 @@ def test_materialize_policy_switch_repins(df, tmp_path):
     assert _rows(repinned) == _rows(df)
 
 
+def test_clear_staging_removes_dead_stage_dirs(df, tmp_path):
+    """r10: 'parquet' staging dirs are tracked and released by
+    clear_staging() — a long-lived session must not leak one directory
+    per pinned intermediate."""
+    mat.clear_staging()  # drain anything staged by earlier tests
+    mat.set_materialization("parquet", directory=str(tmp_path / "leak"))
+    out = mat.materialize(df)
+    assert _rows(out) == _rows(df)
+    staged = list((tmp_path / "leak").glob("stage-*"))
+    assert len(staged) == 1 and staged[0].exists()
+    assert mat.clear_staging() == 1
+    assert not staged[0].exists()
+    assert mat.clear_staging() == 0  # forgotten after release
+
+
+def test_quiesce_drains_staging(df, tmp_path):
+    from dropbox_duckdb_playground_spark.session import quiesce
+
+    mat.set_materialization("parquet", directory=str(tmp_path / "qd"))
+    mat.materialize(df).count()
+    assert list((tmp_path / "qd").glob("stage-*"))
+    quiesce(df.sparkSession)
+    assert not list((tmp_path / "qd").glob("stage-*"))
+
+
+def test_clear_staging_keeps_uri_paths_without_session():
+    """scheme:// staging needs a session for the Hadoop connector; with
+    none given the path must be KEPT for a later call, not forgotten."""
+    mat._staged_paths.append("s3a://bucket/stage-deadbeef")
+    try:
+        assert mat.clear_staging() == 0
+        assert "s3a://bucket/stage-deadbeef" in mat._staged_paths
+    finally:
+        mat._staged_paths.clear()
+
+
 def test_stamp_column_name_collision_safe(spark):
     """r9 ADVICE: a table with a column literally named like the stamp
     must not trip DataFrame.__getattr__ column resolution (getattr on an
