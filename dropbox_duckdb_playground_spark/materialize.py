@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import os
 import uuid
+import weakref
 
 from pyspark.sql import DataFrame
 
@@ -44,12 +45,15 @@ _mode: str | None = None  # None -> read env each call (test-friendly)
 _directory: str | None = None
 
 # Every staging directory materialize() has written under the 'parquet'
-# policy and not yet released. Without tracking, a long-lived session
-# leaks one stage-<uuid> directory per pinned intermediate — unbounded
-# storage growth on a cluster running thousands of queries against an
-# object store. session.quiesce() drains this via clear_staging()
-# between independent queries, when the staged frames are dead.
-_staged_paths: list[str] = []
+# policy and not yet released, paired with a weakref to the DataFrame
+# reading it. Without tracking, a long-lived session leaks one
+# stage-<uuid> directory per pinned intermediate — unbounded storage
+# growth on a cluster running thousands of queries against an object
+# store. session.quiesce() drains this via clear_staging() between
+# independent queries; the weakref lets clear_staging skip (keep) any
+# path whose frame is still reachable, so a quiesce can never delete
+# files out from under a live plan (r10 ADVICE).
+_staged_paths: list[tuple[str, "weakref.ref[DataFrame] | None"]] = []
 
 
 def set_materialization(mode: str, directory: str | None = None) -> None:
@@ -128,6 +132,11 @@ def pin(df: DataFrame) -> DataFrame:
 # DataFrame.__getattr__ resolves unknown attributes as COLUMNS, so a table
 # with a column literally named like the stamp must not be reachable.
 _DONE_ATTR = "_spark_graft_materialized"
+# Companion stamp for the 'parquet' policy only: the staging path the
+# frame reads. Lets materialize() detect a path deleted out from under
+# the stamp (external cleanup, misuse of clear_staging) and repair by
+# re-staging instead of returning a frame that fails at read time.
+_STAGE_PATH_ATTR = "_spark_graft_stage_path"
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -143,7 +152,17 @@ def materialize(df: DataFrame) -> DataFrame:
     re-materialized under the current one."""
     mode = _resolve(df)
     if df.__dict__.get(_DONE_ATTR) == mode:
-        return df
+        if mode != "parquet":
+            return df
+        # 'parquet' stamp is only as good as the files behind it: if
+        # the staging dir was deleted (external cleanup, clear_staging
+        # misuse) the frame fails at read time — re-stage instead of
+        # trusting the stamp (r10 ADVICE). scheme:// paths can't be
+        # cheaply probed; their liveness is guarded by the weakref in
+        # _staged_paths instead.
+        stamped = df.__dict__.get(_STAGE_PATH_ATTR)
+        if stamped and ("://" in stamped or os.path.isdir(stamped)):
+            return df
     if mode == "none":
         return df
     if mode == "local":
@@ -158,38 +177,48 @@ def materialize(df: DataFrame) -> DataFrame:
         path = os.path.join(base, f"stage-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(path)
         out = df.sparkSession.read.parquet(path)
-        _staged_paths.append(path)
+        out.__dict__[_STAGE_PATH_ATTR] = path
+        _staged_paths.append((path, weakref.ref(out)))
     out.__dict__[_DONE_ATTR] = mode
     return out
 
 
 def clear_staging(spark=None) -> int:
-    """Delete every staging directory this process has written under
-    the ``parquet`` policy and forget them. Returns how many were
+    """Delete every DEAD staging directory this process has written
+    under the ``parquet`` policy and forget them. Returns how many were
     removed.
 
-    Call ONLY between independent queries (after the frames reading
-    those files are dead) — ``session.quiesce()`` does exactly that.
-    Scheme-aware: plain paths go through ``shutil``; ``scheme://``
-    paths need ``spark`` for the Hadoop FileSystem connector (s3a/gs/
-    hdfs) and are kept (not forgotten) if no session is given, so a
-    later call can still release them."""
+    Safe to call at any drain point (``session.quiesce()`` does):
+    a path whose staged DataFrame is still reachable (weakref alive) is
+    kept, so live plans never lose their files — only frames the caller
+    has dropped are released. Scheme-aware: plain paths go through
+    ``shutil``; ``scheme://`` paths need ``spark`` for the Hadoop
+    FileSystem connector (s3a/gs/hdfs) and are kept if no session is
+    given. A delete that throws (expired credentials, transient object-
+    store error) keeps its path for retry on a later call and never
+    propagates out — staging cleanup must not abort the caller's query
+    loop (r10 ADVICE)."""
     import shutil
 
     removed = 0
-    kept: list[str] = []
-    for path in _staged_paths:
-        if "://" in path:
-            if spark is None:
-                kept.append(path)
-                continue
-            jvm = spark.sparkContext._jvm
-            hconf = spark.sparkContext._jsc.hadoopConfiguration()
-            p = jvm.org.apache.hadoop.fs.Path(path)
-            p.getFileSystem(hconf).delete(p, True)
+    kept: list[tuple[str, weakref.ref | None]] = []
+    for path, ref in _staged_paths:
+        if ref is not None and ref() is not None:
+            kept.append((path, ref))  # frame still live — never delete
+            continue
+        try:
+            if "://" in path:
+                if spark is None:
+                    kept.append((path, ref))
+                    continue
+                jvm = spark.sparkContext._jvm
+                hconf = spark.sparkContext._jsc.hadoopConfiguration()
+                p = jvm.org.apache.hadoop.fs.Path(path)
+                p.getFileSystem(hconf).delete(p, True)
+            else:
+                shutil.rmtree(path, ignore_errors=True)
             removed += 1
-        else:
-            shutil.rmtree(path, ignore_errors=True)
-            removed += 1
+        except Exception:  # keep for retry; cleanup must never raise
+            kept.append((path, ref))
     _staged_paths[:] = kept
     return removed

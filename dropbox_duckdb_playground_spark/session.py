@@ -258,9 +258,12 @@ def quiesce(spark: SparkSession) -> None:
 
     clear_persisted(spark)
     spark.catalog.clearCache()
-    # parquet-policy staging dirs from the finished query are dead now —
-    # without this a long-lived session leaks one directory per pinned
-    # intermediate (see materialize.clear_staging).
-    clear_staging(spark)
+    # Python cycle collection FIRST: the finished query's frames often
+    # sit in plan-object reference cycles, and clear_staging() keeps any
+    # staging dir whose frame is still reachable (weakref guard). With
+    # gc.collect() before it, dead frames are truly dead and their dirs
+    # release this quiesce instead of next; frames the caller still
+    # holds keep their files either way (see materialize.clear_staging).
     gc.collect()
+    clear_staging(spark)
     spark.sparkContext._jvm.System.gc()

@@ -147,12 +147,22 @@ def test_clear_staging_removes_dead_stage_dirs(df, tmp_path):
     """r10: 'parquet' staging dirs are tracked and released by
     clear_staging() — a long-lived session must not leak one directory
     per pinned intermediate."""
-    mat.clear_staging()  # drain anything staged by earlier tests
+    import gc
+
+    mat._staged_paths.clear()  # drain tracking from earlier tests
     mat.set_materialization("parquet", directory=str(tmp_path / "leak"))
     out = mat.materialize(df)
     assert _rows(out) == _rows(df)
     staged = list((tmp_path / "leak").glob("stage-*"))
     assert len(staged) == 1 and staged[0].exists()
+    # r11: while `out` is reachable its staging dir must survive any
+    # number of clear_staging calls — quiesce() can no longer delete
+    # files out from under a live frame (r10 ADVICE medium).
+    assert mat.clear_staging() == 0
+    assert staged[0].exists()
+    assert _rows(out) == _rows(df)  # still readable after the drain
+    del out
+    gc.collect()  # break plan-object cycles so the weakref clears
     assert mat.clear_staging() == 1
     assert not staged[0].exists()
     assert mat.clear_staging() == 0  # forgotten after release
@@ -171,12 +181,62 @@ def test_quiesce_drains_staging(df, tmp_path):
 def test_clear_staging_keeps_uri_paths_without_session():
     """scheme:// staging needs a session for the Hadoop connector; with
     none given the path must be KEPT for a later call, not forgotten."""
-    mat._staged_paths.append("s3a://bucket/stage-deadbeef")
+    mat._staged_paths.append(("s3a://bucket/stage-deadbeef", None))
     try:
         assert mat.clear_staging() == 0
-        assert "s3a://bucket/stage-deadbeef" in mat._staged_paths
+        assert ("s3a://bucket/stage-deadbeef", None) in mat._staged_paths
     finally:
         mat._staged_paths.clear()
+
+
+def test_clear_staging_never_raises_and_retries(monkeypatch):
+    """r10 ADVICE low: a FileSystem delete that throws must not
+    propagate out of quiesce(); the failing path is kept for retry and
+    the other entries still process."""
+
+    class _BoomSC:
+        @property
+        def _jvm(self):
+            raise RuntimeError("expired credentials")
+
+        _jsc = None
+
+    class _BoomSpark:
+        sparkContext = _BoomSC()
+
+    mat._staged_paths.clear()
+    mat._staged_paths.append(("s3a://bucket/stage-boom", None))
+    try:
+        assert mat.clear_staging(_BoomSpark()) == 0  # swallowed, kept
+        assert ("s3a://bucket/stage-boom", None) in mat._staged_paths
+    finally:
+        mat._staged_paths.clear()
+
+
+def test_materialize_restages_when_staging_dir_vanishes(df, tmp_path):
+    """r10 ADVICE medium: a 'parquet' stamp whose staging dir no longer
+    exists must not be trusted — materialize() falls through and
+    re-stages instead of returning a frame that fails at read time."""
+    import shutil
+
+    mat._staged_paths.clear()
+    mat.set_materialization("parquet", directory=str(tmp_path / "gone"))
+    out = mat.materialize(df)
+    path = out.__dict__[mat._STAGE_PATH_ATTR]
+    assert mat.materialize(out) is out  # stamp honored while dir exists
+    # Simulate a frame with valid lineage whose stamped dir vanished
+    # (e.g. stamp survived a copy but the files were cleaned): the stamp
+    # must NOT be trusted — materialize re-stages under a fresh path.
+    fresh = df.select("*")
+    fresh.__dict__[mat._DONE_ATTR] = "parquet"
+    fresh.__dict__[mat._STAGE_PATH_ATTR] = str(tmp_path / "gone" / "nope")
+    repaired = mat.materialize(fresh)
+    assert repaired is not fresh
+    assert _rows(repaired) == _rows(df)
+    new_path = repaired.__dict__[mat._STAGE_PATH_ATTR]
+    assert new_path != str(tmp_path / "gone" / "nope")
+    shutil.rmtree(path, ignore_errors=True)
+    mat._staged_paths.clear()
 
 
 def test_stamp_column_name_collision_safe(spark):

@@ -68,10 +68,22 @@ def main() -> int:
     band, abs_floor, args = 0.35, 0.3, []
     i = 0
     while i < len(argv):
-        if argv[i] == "--band":
-            band, i = float(argv[i + 1]), i + 2
-        elif argv[i] == "--abs":
-            abs_floor, i = float(argv[i + 1]), i + 2
+        if argv[i] in ("--band", "--abs"):
+            # bounds + numeric checked: a missing or non-numeric flag
+            # value prints usage instead of crashing (r10 ADVICE)
+            if i + 1 >= len(argv):
+                print(__doc__)
+                return 2
+            try:
+                val = float(argv[i + 1])
+            except ValueError:
+                print(__doc__)
+                return 2
+            if argv[i] == "--band":
+                band = val
+            else:
+                abs_floor = val
+            i += 2
         else:
             args.append(argv[i])
             i += 1

@@ -72,6 +72,10 @@ def family(name: str) -> str:
 def main() -> int:
     path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "bench_out.json")
     out_md = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "RATIO.md")
+    return main_from(path, out_md)
+
+
+def main_from(path: str, out_md: str) -> int:
     with open(path) as fh:
         b = json.loads(fh.read().strip())
     sq: dict[str, float] = {k: v for k, v in b["queries"].items() if v >= 0}
@@ -100,9 +104,18 @@ def main() -> int:
     # inside the bench — so taking the warm column blindly would flatter
     # the ratio; min() keeps the conservative honest denominator
     # (r9 VERDICT item 3).
-    oracle_candidates = [total_o] + [
-        b[k] for k in ("oracle_total_cold", "oracle_total_warm") if k in b
-    ]
+    # Artifact-level totals (cold/warm) sum over every query whose
+    # oracle succeeded; total_o sums over `names` (queries where BOTH
+    # engines succeeded). Comparing them against a numerator restricted
+    # to `names` is only sound when the two sets coincide — otherwise
+    # the min() would pick a denominator covering a different workload
+    # (r10 ADVICE). oq's keys are exactly the oracle-succeeded set.
+    oracle_candidates = [total_o]
+    if set(names) == set(oq):
+        oracle_candidates += [
+            b[k] for k in ("oracle_total_cold", "oracle_total_warm")
+            if k in b
+        ]
     total_o_best = min(oracle_candidates)
     total_data = sum(r[3] for r in rows)
     floor_total = floor * len(names)
@@ -117,7 +130,7 @@ def main() -> int:
         f"- Spark total: **{total_s:.1f}s**, oracle best total"
         f" (min of warm {total_o:.1f}s"
         + (f", cold {b['oracle_total_cold']:.1f}s"
-           if "oracle_total_cold" in b else "")
+           if "oracle_total_cold" in b and set(names) == set(oq) else "")
         + f"): **{total_o_best:.1f}s** -> ratio"
         f" **{total_s / total_o_best:.2f}x**",
         f"- Estimated per-query floor (median Spark time of the 25"

@@ -99,6 +99,29 @@ def _spread(reps: list[float]) -> float:
     return round((max(reps) - min(reps)) / max(med, 1e-9), 3)
 
 
+def oracle_row_fields(
+    oracle_reps: list[float], oracle_errs: list[str], reps: int = REPS
+) -> dict:
+    """Finalize one row's oracle fields. A row carries a median ONLY at
+    the full rep count the artifact's protocol string claims; a partial
+    row (any rep failed) reports oracle=None + oracle_err with the
+    succeeded count — never both a median and an error (r10 ADVICE).
+    Partial rep times stay under oracle_reps for transparency."""
+    out: dict = {"oracle_rep_count": len(oracle_reps)}
+    if oracle_reps:
+        out["oracle_reps"] = [round(x, 3) for x in oracle_reps]
+    if len(oracle_reps) == reps:
+        out["oracle"] = round(statistics.median(oracle_reps), 3)
+        out["oracle_spread"] = _spread(oracle_reps)
+    else:
+        out["oracle"] = None
+        out["oracle_err"] = (
+            (oracle_errs[-1] if oracle_errs else "no oracle rep")
+            + f" [{len(oracle_reps)}/{reps} reps succeeded]"
+        )
+    return out
+
+
 def main() -> int:
     args = sys.argv[1:]
     out_json = os.path.join(REPO, "SF1_BENCH.json")
@@ -134,6 +157,7 @@ def main() -> int:
         row: dict = {"loadavg": round(os.getloadavg()[0], 2)}
         spark_reps: list[float] = []
         oracle_reps: list[float] = []
+        oracle_errs: list[str] = []
         try:
             fn(spark, SF_WARM).write.format("noop").mode("overwrite").save()
             quiesce(spark)
@@ -142,10 +166,14 @@ def main() -> int:
                 fn(spark, SF1).write.format("noop").mode("overwrite").save()
                 spark_reps.append(time.time() - t0)
                 quiesce(spark)
-                if sql is not None and "oracle_err" not in row:
+                if sql is not None:
+                    # keep attempting ALL reps after a failure (r10
+                    # ADVICE): a transient-error row either recovers to
+                    # a full median-of-REPS or is reported as failed —
+                    # never a silent partial median
                     o, err = _oracle_rep(sql)
                     if err is not None:
-                        row["oracle_err"] = err
+                        oracle_errs.append(err)
                     else:
                         oracle_reps.append(o)
             row["spark"] = round(statistics.median(spark_reps), 3)
@@ -160,13 +188,8 @@ def main() -> int:
         if sql is None:
             row["oracle"] = None
             row["oracle_err"] = "rows-only query (no oracle)"
-        elif oracle_reps:
-            row["oracle"] = round(statistics.median(oracle_reps), 3)
-            row["oracle_reps"] = [round(x, 3) for x in oracle_reps]
-            row["oracle_spread"] = _spread(oracle_reps)
         else:
-            row["oracle"] = None
-            row.setdefault("oracle_err", "no successful oracle rep")
+            row.update(oracle_row_fields(oracle_reps, oracle_errs))
         results[name] = row
         print(
             f"SF1BENCH {name}: spark={row.get('spark')} "
