@@ -4778,13 +4778,24 @@ def q101_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; ties at the min are kept (classic Q2 semantics), which
     keeps the result set-stable across engines. supplycost doubles are
     computed by the identical expression in both engines, so the
-    equality join on the min is bit-exact."""
-    ps = _ps_spark(spark, sf_dir)
+    equality join on the min is bit-exact.
+
+    r11 decomposition (tools/decompose_tpch.py): the selective part
+    filter (mid-size LARGE, ~5% of parts) is pushed BELOW the ps
+    distinct via ``part_filter`` — the distinct exchange and the md5
+    key derivations run on the surviving pairs only. Interleaved
+    median-of-3 at sf0.1: 0.705s vs 1.067s unpruned; statistical tie
+    at sf1 (1.66s vs 1.60s, wide reps) — kept for the sf0.1 win plus
+    strictly smaller exchange. A groupBy-min + broadcast-join
+    replacement for the window was also probed and LOST at both SFs
+    (1.149s sf0.1 / 1.913s sf1 — regional computes twice); window
+    kept."""
     p = F.broadcast(
         load(spark, sf_dir, "part")
         .filter(F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE"))
         .select("p_partkey", "p_name", "p_retailprice")
     )
+    ps = _ps_spark(spark, sf_dir, part_filter=p)
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     s = F.broadcast(
@@ -4855,7 +4866,18 @@ def q102_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     math is DECIMAL end-to-end (supplycost snapped to scale 6 first),
     so pv and the total are exact and order-independent; the final
     double comparison is computed from those identical decimals in the
-    same expression order in both engines."""
+    same expression order in both engines.
+
+    r11 measured dead end (tools/decompose_tpch.py): pushing the
+    region-2 supplier filter BELOW the ps distinct (broadcast-join the
+    pair projection before the exchange) tied at sf0.1 (1.414s vs
+    1.401s) and LOST at sf1 (2.456s vs 2.108s, interleaved median-of-
+    3): the distinct's map-side partial aggregate already collapses
+    the exchange to ~unique-pairs-per-partition, so the per-row
+    broadcast probe over all of lineitem costs more than the 5x
+    smaller shuffle saves. Unpruned form kept; the pushed variant
+    stays in the decompose tool if a network-bound cluster ever flips
+    the tradeoff."""
     ps = _ps_spark(spark, sf_dir)
     p = F.broadcast(load(spark, sf_dir, "part").select("p_partkey", "p_retailprice"))
     n = load(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
@@ -4924,40 +4946,49 @@ def q103_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. The correlated `0.5 * sum(l_quantity)` comparison is
     rewritten `200*availqty > sum(qty_cents)` in LONG centi-units (the
     micro-unit money pattern), so the threshold bit is exact in both
-    engines with whole-stage-codegen integer sums. The
-    1997 shipped-quantity aggregate and the ps DISTINCT ride the same
-    (partkey, suppkey) shuffle key; part and the final supplier/nation
-    dimensions broadcast."""
+    engines with whole-stage-codegen integer sums.
+
+    r11 decomposition (tools/decompose_tpch.py): the ps DISTINCT and
+    the 1997 shipped aggregate are FUSED — one widget-filtered
+    lineitem scan, one (partkey, suppkey) exchange producing both the
+    distinct pair (the groupBy keys) and a CONDITIONAL 1997 quantity
+    sum, with `qty_c IS NOT NULL` standing in for the inner join
+    against `shipped`. Replaces two full lineitem scans + a merge join
+    of two aggregates (the r8 form, itself a measured 5.4s -> 2.0s fix
+    over AQE's broadcast choice). Interleaved median-of-3 at sf0.1:
+    0.755s fused vs 1.838s two-scan. Restricting the aggregate to
+    widget pairs first is sound: per-(partkey,suppkey) group sums are
+    unchanged by dropping other keys' rows."""
     p = F.broadcast(
         load(spark, sf_dir, "part")
         .filter(F.col("p_name").like("%widget%"))
         .select("p_partkey")
     )
-    ps = _ps_spark(spark, sf_dir, part_filter=p)
-    shipped = (
+    qkey = SPARK_ID.format(
+        x=_PS_QTYKEY.format(s="STRING")
+    )
+    in97 = (F.col("l_shipdate") >= "1997-01-01") & (
+        F.col("l_shipdate") < "1998-01-01"
+    )
+    pairs = (
         load(spark, sf_dir, "lineitem")
-        .filter(
-            (F.col("l_shipdate") >= "1997-01-01")
-            & (F.col("l_shipdate") < "1998-01-01")
-        )
+        .select("l_partkey", "l_suppkey", "l_shipdate", "l_quantity")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias(
-                "qty_c"
-            )
+            F.sum(
+                F.when(in97, F.round(F.col("l_quantity") * 100).cast("long"))
+            ).alias("qty_c")
+        )
+        .filter(F.col("qty_c").isNotNull())
+        .select(
+            F.col("l_suppkey").alias("ps_suppkey"),
+            (F.lit(1) + F.expr(qkey) % 9999).cast("int").alias("ps_availqty"),
+            "qty_c",
         )
     )
-    # both sides arrive keyed on (partkey, suppkey) from their own
-    # aggregates — a merge join reuses those exchanges; AQE's broadcast
-    # choice would instead collect the ~|partsupp| distinct table to the
-    # driver (measured 5.4s -> 2.0s at sf0.1)
     excess = (
-        ps.join(
-            shipped.hint("merge"),
-            (ps["ps_partkey"] == shipped["l_partkey"])
-            & (ps["ps_suppkey"] == shipped["l_suppkey"]),
-        )
-        .filter(F.lit(200) * F.col("ps_availqty") > F.col("qty_c"))
+        pairs.filter(F.lit(200) * F.col("ps_availqty") > F.col("qty_c"))
         .select("ps_suppkey")
         .distinct()
     )
