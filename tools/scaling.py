@@ -69,6 +69,11 @@ SF1_QUERIES = [
     "q93_hll_distinct",
     "q95_bloom_contamination",
     "q100_curation_policy",
+    # r11: the tpch-relational family's three worst rows by data time —
+    # the 2.5x family ratio was argued from slope10 only until now
+    "q101_tpch_q2",
+    "q102_tpch_q11",
+    "q103_tpch_q20",
     "q105_triangle_count",
     "q106_bm25_topk",
     "q107_pq_ann",
