@@ -4609,9 +4609,19 @@ def q100_curation_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-wide state is the distinct-3-gram frequency table
     (vocabulary-bounded, not corpus-bounded). Thresholds compare
     ROUNDED features, so the policy bit can't flip on float noise
-    between engines."""
+    between engines.
+
+    r11 (tools/decompose_q100.py): quality features, the per-doc
+    distinct-3-gram count, and lang now come from ONE tokenize pass
+    (the same integer-arithmetic expressions as text.quality_score,
+    inlined), and the verdict assembles with a single LEFT JOIN
+    against the corpus-unique-owner counts — the committed form
+    tokenized documents three times and joined three frames on
+    doc_id. Interleaved median-of-3: 1.19s vs 1.76s at sf0.1, 2.35s
+    vs 2.73s at sf1, fingerprints equal."""
+    from pyspark.ml.feature import NGram
+
     d = load(spark, sf_dir, "documents")
-    q = TX.quality_score(d)  # doc_id, n_tokens, ..., quality
     sh = D.shingles(d, n=3)
     # Boilerplate share without the corpus-sized (shingle -> freq) join:
     # a shingle with corpus frequency 1 has exactly ONE owner document,
@@ -4632,41 +4642,56 @@ def q100_curation_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("__owner__")
         .agg(F.count("*").alias("__u__"))
     )
-    # Per-doc distinct-shingle total in-row (size of the same
-    # array_distinct(ngrams) that shingles() explodes) — a narrow
-    # shuffle-free pass, measured 0.62s vs 0.93s for re-running the
-    # shingle explode + per-doc aggregate at sf1.
-    from pyspark.ml.feature import NGram
-
-    src = fan_out(d.select("doc_id", "text")).select(
-        "doc_id", F.split(F.trim("text"), r"\s+").alias("__toks__")
+    # ONE tokenize pass: quality features (inlined from
+    # text.quality_score — same integer blend), the per-doc distinct-
+    # 3-gram count (the same array_distinct(ngrams) that shingles()
+    # explodes), and lang, all in a single projection.
+    trimmed = F.trim(F.col("text"))
+    toks = TX.tokens_col("text")
+    stop_pat = "(?<=^|\\s)(?:" + "|".join(
+        "\\Q" + s + "\\E" for s in TX.DEFAULT_STOPWORDS
+    ) + ")(?=\\s|$)"
+    src = fan_out(d.select("doc_id", "lang", "text")).select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("__ntr__"),
+        F.greatest(F.size(toks), F.lit(1)).cast("long").alias("__nt__"),
+        F.regexp_count(trimmed, F.lit(stop_pat)).cast("long").alias("__stop__"),
+        F.size(F.array_distinct(toks)).cast("long").alias("__dist__"),
+        F.length(F.regexp_replace(trimmed, r"\s+", ""))
+        .cast("long")
+        .alias("__chars__"),
+        F.split(trimmed, r"\s+").alias("__toks__"),
     )
     src = NGram(n=3, inputCol="__toks__", outputCol="__ng__").transform(src)
-    nsh = src.select(
-        "doc_id",
-        F.size(F.array_distinct("__ng__")).cast("long").alias("__n__"),
-    ).filter(F.col("__n__") > 0)
-    boiler = (
-        nsh.join(uniq, F.col("doc_id") == F.col("__owner__"), "left")
-        .select(
-            F.col("doc_id"),
-            (F.col("__n__") - F.coalesce(F.col("__u__"), F.lit(0)))
-            .cast("long")
-            .alias("__b__"),
-            F.col("__n__"),
-        )
-        .select("doc_id", TX.ratio4_expr("__b__", "__n__").alias("boiler_ratio"))
+    blend_num = (
+        "least(__ntr__, 100L) * __nt__"
+        " + 100L * least(5L * __stop__, __nt__)"
+        " + 100L * __dist__"
+        " + if(__chars__ >= 3L * __nt__ and __chars__ <= 10L * __nt__,"
+        "      100L * __nt__, 0L)"
     )
-    feats = (
-        q.join(boiler, "doc_id", "left")
-        .join(d.select("doc_id", "lang"), "doc_id")
-        .select(
-            "doc_id",
-            "lang",
-            "n_tokens",
-            "quality",
-            F.coalesce(F.col("boiler_ratio"), F.lit(0)).alias("boiler_ratio"),
+    r4 = "(((20000L * ({p})) + ({q})) div (2L * ({q}))) / cast(10000 as double)"
+    onepass = src.select(
+        "doc_id",
+        "lang",
+        F.col("__ntr__").alias("n_tokens"),
+        F.expr(r4.format(p=blend_num, q="400L * __nt__")).alias("quality"),
+        F.size(F.array_distinct("__ng__")).cast("long").alias("__n__"),
+    )
+    feats = onepass.join(
+        uniq, onepass["doc_id"] == uniq["__owner__"], "left"
+    ).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "quality",
+        F.when(
+            F.col("__n__") > 0,
+            TX.ratio4_expr("(__n__ - coalesce(__u__, 0L))", "__n__"),
         )
+        .otherwise(F.lit(0.0))
+        .alias("boiler_ratio"),
     )
     keep = (
         F.col("n_tokens").between(25, 75)
