@@ -2156,7 +2156,19 @@ def q57_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group median / p90 (holistic aggregates — the ones
     incremental maintenance can't merge). Exact `percentile` here for
     the oracle; at 100 TB use approx_percentile (t-digest sketch,
-    mergeable, constant state)."""
+    mergeable, constant state).
+
+    r11 named decomposition (tools/decompose_q57.py): the row's cost
+    is the HIGH-CARDINALITY price column — percentile(quantity) 0.45s
+    vs percentile(price) 1.22s of the 1.42s total at sf0.1 (the
+    partial state is a per-group value->count map, input-sized on a
+    ~all-distinct column). A count-table + window-cumsum rewrite
+    (every stage codegen'd, spillable state) produced bit-identical
+    values but LOST 1.31s vs 3.03s at sf0.1 and 1.03s vs 2.71s at
+    sf1 — two extra exchanges + sorts cost more than the map merge at
+    any measured cardinality. Committed form kept; the rewrite stays
+    in the tool as the escape hatch for cardinalities where the
+    unspillable ObjectHashAggregate path would OOM."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median_qty"),
