@@ -162,3 +162,46 @@ def test_pq_assign_codes_cover_all_subspaces(spark):
     got = codes.groupBy("cand_id").count().collect()
     assert all(r["count"] == 4 for r in got) and len(got) == 20
     assert book.count() == 16
+
+
+def test_concurrent_writes_runs_all_and_propagates_errors(tmp_path):
+    """r11: _concurrent_writes must execute every thunk (both staging
+    files exist afterward) and re-raise a thunk's exception after all
+    threads join — a failed staging write must not pass silently."""
+    import pytest
+
+    from dropbox_duckdb_playground_spark.operators.similarity import (
+        _concurrent_writes,
+    )
+
+    a, b = tmp_path / "a.txt", tmp_path / "b.txt"
+    _concurrent_writes(
+        lambda: a.write_text("x"), lambda: b.write_text("y")
+    )
+    assert a.read_text() == "x" and b.read_text() == "y"
+
+    done = []
+    with pytest.raises(RuntimeError, match="boom"):
+        _concurrent_writes(
+            lambda: (_ for _ in ()).throw(RuntimeError("boom")),
+            lambda: done.append(1),
+        )
+    assert done == [1]  # the healthy thunk still completed
+
+
+def test_ivf_stage_dir_roundtrip(spark, tmp_path):
+    """r11: after the concurrent-staging change, stage_dir mode must
+    still write both parquet tables AND return frames that read them
+    back with the exact pre-write schema (the oracle contract)."""
+    from dropbox_duckdb_playground_spark.operators.similarity import ivf_assign
+
+    rows = [(i, [float((i * 3 + d) % 7) for d in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    assigned, cent = ivf_assign(df, nlist=4, stage_dir=str(tmp_path / "ivf"))
+    assert (tmp_path / "ivf" / "assigned").exists()
+    assert (tmp_path / "ivf" / "centroids").exists()
+    assert assigned.count() == 30
+    assert [f.name for f in assigned.schema.fields] == [
+        "cand_id", "c_vec", "list_id",
+    ]
+    assert cent.count() == 4
