@@ -6143,9 +6143,17 @@ def q121_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides do NOT share an exchange at runtime (r8 finding: join-pushed
     predicates specialize each side), but here the duplicated subplan
     is a trivial dimension scan+split — the cost lives in the
-    levenshtein pair evaluations, so no barrier is warranted; block
-    sizes are bounded by the key's selectivity, the same guard as
-    er/blocking.max_block_size."""
+    levenshtein pair evaluations, so no barrier is warranted.
+
+    r11 scale measurement: on THIS corpus the blocking key saturates
+    (48 blocks at every SF — the synthetic p_name draws from a tiny
+    first-token vocabulary), so within-block pairs grow quadratically:
+    4.17M at sf0.1 -> 417.7M at sf1. That is data-inherent (any engine
+    pays it: DuckDB 174.1s vs Spark 62.2s at sf1 — Spark runs the
+    explosion 2.8x faster), annotated in SCALING.md like q26. A corpus
+    whose blocks actually explode should use the capped pairing
+    (er/blocking.max_block_size, exercised by q34) — the cap changes
+    the report's semantics, so this exact form stays uncapped."""
     p = load(spark, sf_dir, "part").select(
         "p_partkey",
         "p_type",

@@ -54,15 +54,23 @@ SF1_QUERIES = [
     "q36_lsh_ann",
     "q37_mapreduce_quality",
     "q38_cosine_neardup",
+    # r11 second extension: every remaining catalog row >= ~1s at sf0.1
+    # now carries an sf1 cell — text/winnow/contamination/pmi shapes and
+    # the two heaviest uncovered relational rows
+    "q42_winnow_fp",
     "q43_flagship_graph",
     "q47_neardup_survivors",
+    "q48_contamination",
+    "q50_repetition",
     "q57_group_median",
     "q62_ivf_ann",
     "q64_jaccard_capped",
     "q65_lsh_capped",
     "q67_minhash_estimate",
+    "q73_promo_share",
     "q79_semantic_dedup",
     "q80_boilerplate",
+    "q88_tpch_q21",
     "q89_chunk_dedup",
     "q91_knn_classify",
     "q92_pagerank",
@@ -79,7 +87,9 @@ SF1_QUERIES = [
     "q107_pq_ann",
     "q108_histogram_quantiles",
     "q109_khop_reach",
+    "q116_bigram_pmi",
     "q120_train_manifest",
+    "q121_fuzzy_match",
 ]
 
 
@@ -98,8 +108,23 @@ def classify(slope: float) -> str:
 # The headline count stays INCLUSIVE of these (a new superlinear row can
 # never silently vanish from the metric by being added here); the
 # allowlist below pins exactly which rows may carry a baseline note.
-ANNOTATED_BASELINE_ALLOWLIST = {"q26_jaccard_pairs", "q105_triangle_count"}
+ANNOTATED_BASELINE_ALLOWLIST = {
+    "q26_jaccard_pairs",
+    "q105_triangle_count",
+    "q121_fuzzy_match",
+}
 ROW_NOTES = {
+    "q121_fuzzy_match": (
+        " (data-inherent quadratic, measured r11: the synthetic part"
+        " table saturates the (p_type, first-token) blocking key at 48"
+        " blocks REGARDLESS of scale, so within-block pairs grow"
+        " 4.17M at sf0.1 -> 417.7M at sf1 (100x for 10x rows) — a"
+        " property of the corpus, not the plan; Spark runs the"
+        " explosion 2.8x FASTER than the single-node oracle at sf1"
+        " (62.2s vs 174.1s) and the capped production path for"
+        " saturated keys is er/blocking.max_block_size, exercised by"
+        " q34)"
+    ),
     "q26_jaccard_pairs": (
         " (data-inherent measurement baseline — explicitly uncapped"
         " via exact=True; every production consumer now runs the"
