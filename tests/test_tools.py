@@ -111,3 +111,33 @@ def test_ratio_excludes_artifact_totals_on_set_mismatch(tmp_path, capsys):
     assert ratio.main_from(str(src), str(out)) == 0
     md = out.read_text()
     assert "cold 0.9s" in md and "**0.9s**" in md
+
+
+def test_merge_sf1_bench_overlays_rows_and_recomputes_totals():
+    from merge_sf1_bench import merge
+
+    base = {
+        "queries": {
+            "q1": {"spark": 1.0, "oracle": 2.0},
+            "q2": {"spark": 3.0, "oracle": None, "oracle_err": "x"},
+        },
+        "excluded": {"q9": "too big"},
+        "spark_total": 1.0,
+        "oracle_total": 2.0,
+        "ratio": 0.5,
+        "n_compared": 1,
+    }
+    part = {
+        "queries": {
+            "q2": {"spark": 2.5, "oracle": 5.0},  # replaces the failed row
+            "q3": {"spark": 1.5, "oracle": 0.5},  # new row
+        },
+        "excluded": {"q9": "different reason", "q10": "also big"},
+    }
+    out = merge(base, [part])
+    assert out["n_compared"] == 3
+    assert out["spark_total"] == 5.0 and out["oracle_total"] == 7.5
+    assert out["ratio"] == round(5.0 / 7.5, 3)
+    assert out["excluded"]["q9"] == "too big"  # first reason kept
+    assert out["excluded"]["q10"] == "also big"
+    assert "merged_rows_note" in out
