@@ -14,7 +14,7 @@ see whether a row is trustworthy without archaeology.
 
 Per query:
   1. shape-warm Spark on sf0.01 (JIT/codegen, untimed)
-  2. rep loop (default 2): timed Spark noop-write on sf1, then a timed
+  2. rep loop (REPS=3): timed Spark noop-write on sf1, then a timed
      DuckDB subprocess run on the same sf1 parquet (page cache shared)
   3. record per-engine rep lists, medians, relative spread, loadavg
 
