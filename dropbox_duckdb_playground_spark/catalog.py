@@ -4625,8 +4625,9 @@ def q100_curation_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r11 (tools/decompose_q100.py): quality features, the per-doc
     distinct-3-gram count, and lang now come from ONE tokenize pass
-    (the same integer-arithmetic expressions as text.quality_score,
-    inlined), and the verdict assembles with a single LEFT JOIN
+    (the shared text.quality_feature_exprs / QUALITY_BLEND_NUM helpers
+    that quality_score itself builds from — no inline copy to diverge,
+    r11 ADVICE), and the verdict assembles with a single LEFT JOIN
     against the corpus-unique-owner counts — the committed form
     tokenized documents three times and joined three frames on
     doc_id. Interleaved median-of-3: 1.19s vs 1.76s at sf0.1, 2.35s
@@ -4654,41 +4655,24 @@ def q100_curation_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("__owner__")
         .agg(F.count("*").alias("__u__"))
     )
-    # ONE tokenize pass: quality features (inlined from
-    # text.quality_score — same integer blend), the per-doc distinct-
-    # 3-gram count (the same array_distinct(ngrams) that shingles()
-    # explodes), and lang, all in a single projection.
+    # ONE tokenize pass: quality features (the shared helpers from
+    # operators.text — literally the same integer blend as
+    # text.quality_score, r11 ADVICE), the per-doc distinct-3-gram
+    # count (the same array_distinct(ngrams) that shingles() explodes),
+    # and lang, all in a single projection.
     trimmed = F.trim(F.col("text"))
-    toks = TX.tokens_col("text")
-    stop_pat = "(?<=^|\\s)(?:" + "|".join(
-        "\\Q" + s + "\\E" for s in TX.DEFAULT_STOPWORDS
-    ) + ")(?=\\s|$)"
     src = fan_out(d.select("doc_id", "lang", "text")).select(
         "doc_id",
         "lang",
-        F.size(toks).cast("long").alias("__ntr__"),
-        F.greatest(F.size(toks), F.lit(1)).cast("long").alias("__nt__"),
-        F.regexp_count(trimmed, F.lit(stop_pat)).cast("long").alias("__stop__"),
-        F.size(F.array_distinct(toks)).cast("long").alias("__dist__"),
-        F.length(F.regexp_replace(trimmed, r"\s+", ""))
-        .cast("long")
-        .alias("__chars__"),
+        *TX.quality_feature_exprs("text"),
         F.split(trimmed, r"\s+").alias("__toks__"),
     )
     src = NGram(n=3, inputCol="__toks__", outputCol="__ng__").transform(src)
-    blend_num = (
-        "least(__ntr__, 100L) * __nt__"
-        " + 100L * least(5L * __stop__, __nt__)"
-        " + 100L * __dist__"
-        " + if(__chars__ >= 3L * __nt__ and __chars__ <= 10L * __nt__,"
-        "      100L * __nt__, 0L)"
-    )
-    r4 = "(((20000L * ({p})) + ({q})) div (2L * ({q}))) / cast(10000 as double)"
     onepass = src.select(
         "doc_id",
         "lang",
         F.col("__ntr__").alias("n_tokens"),
-        F.expr(r4.format(p=blend_num, q="400L * __nt__")).alias("quality"),
+        TX.ratio4_expr(TX.QUALITY_BLEND_NUM, "400L * __nt__").alias("quality"),
         F.size(F.array_distinct("__ng__")).cast("long").alias("__n__"),
     )
     feats = onepass.join(

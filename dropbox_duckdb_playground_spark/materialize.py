@@ -51,8 +51,12 @@ _directory: str | None = None
 # growth on a cluster running thousands of queries against an object
 # store. session.quiesce() drains this via clear_staging() between
 # independent queries; the weakref lets clear_staging skip (keep) any
-# path whose frame is still reachable, so a quiesce can never delete
-# files out from under a live plan (r10 ADVICE).
+# path whose DIRECT read-back frame is still reachable (r10 ADVICE).
+# The guard is best-effort only: it tracks the Python wrapper of the
+# read-back DataFrame, not plan-level reachability, so a frame DERIVED
+# from a staged intermediate (sig = materialize(sig); return
+# sig.join(...)) does not keep the path alive once the local wrapper is
+# dropped — see clear_staging's contract for when draining is safe.
 _staged_paths: list[tuple[str, "weakref.ref[DataFrame] | None"]] = []
 
 
@@ -151,18 +155,26 @@ def materialize(df: DataFrame) -> DataFrame:
     a frame stamped under a different (e.g. weaker) policy is
     re-materialized under the current one."""
     mode = _resolve(df)
+    vanished: str | None = None
     if df.__dict__.get(_DONE_ATTR) == mode:
         if mode != "parquet":
             return df
         # 'parquet' stamp is only as good as the files behind it: if
         # the staging dir was deleted (external cleanup, clear_staging
-        # misuse) the frame fails at read time — re-stage instead of
+        # misuse) the frame fails at read time — fall through instead of
         # trusting the stamp (r10 ADVICE). scheme:// paths can't be
         # cheaply probed; their liveness is guarded by the weakref in
-        # _staged_paths instead.
+        # _staged_paths instead. The fall-through re-stage can only
+        # repair frames whose stamp outlived a plan that does NOT read
+        # the deleted dir (e.g. a stamp copied onto a frame with live
+        # lineage): a frame materialize() itself returned IS a read of
+        # the vanished directory, so its re-stage write replays that
+        # read and fails — we convert that failure into a clear error
+        # below rather than implying repair is possible (r11 ADVICE).
         stamped = df.__dict__.get(_STAGE_PATH_ATTR)
         if stamped and ("://" in stamped or os.path.isdir(stamped)):
             return df
+        vanished = stamped
     if mode == "none":
         return df
     if mode == "local":
@@ -175,7 +187,18 @@ def materialize(df: DataFrame) -> DataFrame:
             os.environ.get("SPARK_LOCAL_DIRS", "/tmp"), "spark_graft_stage"
         )
         path = os.path.join(base, f"stage-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(path)
+        try:
+            df.write.mode("overwrite").parquet(path)
+        except Exception as exc:
+            if vanished is not None:
+                raise RuntimeError(
+                    f"staging directory {vanished!r} was deleted while a "
+                    "frame reading it was still live (clear_staging "
+                    "called mid-query, or external cleanup); the frame's "
+                    "lineage reads the deleted files, so re-staging "
+                    "cannot repair it — recompute from source"
+                ) from exc
+            raise
         out = df.sparkSession.read.parquet(path)
         out.__dict__[_STAGE_PATH_ATTR] = path
         _staged_paths.append((path, weakref.ref(out)))
@@ -188,10 +211,17 @@ def clear_staging(spark=None) -> int:
     under the ``parquet`` policy and forget them. Returns how many were
     removed.
 
-    Safe to call at any drain point (``session.quiesce()`` does):
-    a path whose staged DataFrame is still reachable (weakref alive) is
-    kept, so live plans never lose their files — only frames the caller
-    has dropped are released. Scheme-aware: plain paths go through
+    Call only BETWEEN independent queries, after every frame built on a
+    staged intermediate is dead (``session.quiesce()`` sits at exactly
+    such a drain point). The liveness check is best-effort: the weakref
+    tracks only the direct read-back DataFrame wrapper, so it keeps the
+    path while THAT object is reachable — but a frame *derived* from a
+    staged intermediate (the normal operator pattern: ``sig =
+    materialize(sig); return sig.join(...)``) does not hold the wrapper
+    alive, and its staging dir would be deleted here while the derived
+    plan still reads it. The weakref therefore narrows the window for
+    misuse; it does not make mid-query calls safe. Scheme-aware: plain
+    paths go through
     ``shutil``; ``scheme://`` paths need ``spark`` for the Hadoop
     FileSystem connector (s3a/gs/hdfs) and are kept if no session is
     given. A delete that throws (expired credentials, transient object-

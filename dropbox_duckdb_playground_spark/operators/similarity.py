@@ -26,8 +26,15 @@ def _concurrent_writes(*thunks) -> None:
     is driver-literal data, so it never contends with the corpus scan.
     Measured r11 (tools/decompose_q62q107.py, interleaved median-of-3):
     q62 2.19s -> 2.09s at sf0.1, 2.52s -> 2.13s at sf1, with the
-    explicit-schema read-back below. Errors propagate after join."""
-    import threading
+    explicit-schema read-back below.
+
+    Threads are ``pyspark.InheritableThread`` so the parent's Spark
+    local properties (job group/tags, scheduler pool) propagate to the
+    jobs these threads submit — plain ``threading.Thread`` would detach
+    the staging writes from any future cancellation or pool scoping
+    (r11 ADVICE). All failures propagate after join: the first error is
+    raised with the rest attached as ``__notes__``-style context."""
+    from pyspark import InheritableThread
 
     errs: list[BaseException] = []
 
@@ -37,13 +44,20 @@ def _concurrent_writes(*thunks) -> None:
         except BaseException as e:
             errs.append(e)
 
-    threads = [threading.Thread(target=run, args=(t,)) for t in thunks]
+    threads = [InheritableThread(target=run, args=(t,)) for t in thunks]
     for t in threads:
         t.start()
     for t in threads:
         t.join()
     if errs:
-        raise errs[0]
+        first = errs[0]
+        for extra in errs[1:]:
+            # surface every failure, not just the first (r11 ADVICE):
+            # PEP-678 notes render in the traceback on 3.11+.
+            note = f"additional concurrent-write failure: {extra!r}"
+            if hasattr(first, "add_note"):
+                first.add_note(note)
+        raise first
 
 
 def _dot(a: Column, b: Column) -> Column:

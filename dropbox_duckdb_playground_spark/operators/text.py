@@ -64,6 +64,68 @@ def ratio4_expr(p: str, q: str) -> Column:
     )
 
 
+def stopword_pattern(stopwords: tuple[str, ...] = DEFAULT_STOPWORDS) -> str | None:
+    """JVM regex matching one whole stopword token: a token is a maximal
+    non-\\s run, so a stopword token is exactly a \\Q-quoted alternative
+    bounded by ^/\\s lookarounds. Returns ``None`` for an empty tuple —
+    an empty alternation ``(?:)`` matches the EMPTY string at every
+    \\s-bounded position (counts 1 on empty text, double on ``"a  b"``),
+    so callers must short-circuit to a literal 0 instead. Shared by
+    :func:`quality_score` and catalog q100 (r11 ADVICE: the q100 inline
+    copy could silently diverge)."""
+    if not stopwords:
+        return None
+    return (
+        "(?<=^|\\s)(?:"
+        + "|".join("\\Q" + s + "\\E" for s in stopwords)
+        + ")(?=\\s|$)"
+    )
+
+
+def quality_feature_exprs(
+    text: str = "text",
+    stopwords: tuple[str, ...] = DEFAULT_STOPWORDS,
+) -> list[Column]:
+    """The five integer count columns the quality blend is built from
+    (``__ntr__`` raw token count, ``__nt__`` max(count,1) denominator,
+    ``__stop__`` stopword tokens, ``__dist__`` distinct tokens,
+    ``__chars__`` non-whitespace chars) — single-pass JVM regex over the
+    trimmed text, no higher-order-function lambdas (interpreted per
+    element, not codegen'd). Values are identical to the lambda forms
+    (verified row-wise on 50k sf1 docs); measured 1.02s -> 0.79s for the
+    feature pass. Shared by :func:`quality_score` and catalog q100."""
+    trimmed = F.trim(F.col(text))
+    toks = tokens_col(text)
+    pat = stopword_pattern(stopwords)
+    stop_count = (
+        F.regexp_count(trimmed, F.lit(pat)) if pat is not None else F.lit(0)
+    )
+    return [
+        F.size(toks).cast("long").alias("__ntr__"),
+        F.greatest(F.size(toks), F.lit(1)).cast("long").alias("__nt__"),
+        stop_count.cast("long").alias("__stop__"),
+        F.size(F.array_distinct(toks)).cast("long").alias("__dist__"),
+        F.length(F.regexp_replace(trimmed, r"\s+", ""))
+        .cast("long")
+        .alias("__chars__"),
+    ]
+
+
+# Quality-blend numerator over the common denominator 400*__nt__:
+#   min(ntr,100)/100/4 + min(5*stop,nt)/nt/4 + dist/nt/4 + flag/4
+# where flag is 1 when mean word length is in [3,10]. Kept as one SQL
+# string so quality_score and catalog q100 compute the literally same
+# integer blend (r11 ADVICE); pair with ratio4_expr(QUALITY_BLEND_NUM,
+# "400L * __nt__").
+QUALITY_BLEND_NUM = (
+    "least(__ntr__, 100L) * __nt__"
+    " + 100L * least(5L * __stop__, __nt__)"
+    " + 100L * __dist__"
+    " + if(__chars__ >= 3L * __nt__ and __chars__ <= 10L * __nt__,"
+    "      100L * __nt__, 0L)"
+)
+
+
 def quality_score(
     df: DataFrame,
     text: str = "text",
@@ -86,52 +148,14 @@ def quality_score(
     flips the rounded digit — observed at sf1 on the quality blend), the
     same class of bug the money columns fixed with micro-units; the
     integer form is bit-identical on any engine."""
-    toks = tokens_col(text)
-    # Stopword count and char sum avoid higher-order-function lambdas
-    # (interpreted per element, not codegen'd) in favor of single-pass
-    # JVM regex over the trimmed text: a token is a maximal non-\s run,
-    # so a stopword token is exactly a \Q-quoted alternative bounded by
-    # ^/\s lookarounds, and the token-length sum is the non-\s char
-    # count. Values are identical to the lambda forms (verified row-wise
-    # on 50k sf1 docs); measured 1.02s -> 0.79s for the feature pass.
-    trimmed = F.trim(F.col(text))
-    if stopwords:
-        stop_pat = "(?<=^|\\s)(?:" + "|".join(
-            "\\Q" + s + "\\E" for s in stopwords
-        ) + ")(?=\\s|$)"
-        stop_count = F.regexp_count(trimmed, F.lit(stop_pat))
-    else:
-        # An empty alternation "(?:)" matches the EMPTY string at every
-        # \s-bounded position (counts 1 on empty text, double on "a  b"),
-        # diverging from the lambda form's 0 — short-circuit instead.
-        stop_count = F.lit(0)
-    base = df.select(
-        F.col(key),
-        F.size(toks).cast("long").alias("__ntr__"),
-        F.greatest(F.size(toks), F.lit(1)).cast("long").alias("__nt__"),
-        stop_count.cast("long").alias("__stop__"),
-        F.size(F.array_distinct(toks)).cast("long").alias("__dist__"),
-        F.length(F.regexp_replace(trimmed, r"\s+", ""))
-        .cast("long")
-        .alias("__chars__"),
-    )
-    # blend over the common denominator 400*n_tok:
-    #   min(ntr,100)/100/4 + min(5*stop,nt)/nt/4 + dist/nt/4 + flag/4
-    blend_num = (
-        "least(__ntr__, 100L) * __nt__"
-        " + 100L * least(5L * __stop__, __nt__)"
-        " + 100L * __dist__"
-        " + if(__chars__ >= 3L * __nt__ and __chars__ <= 10L * __nt__,"
-        "      100L * __nt__, 0L)"
-    )
-    r4 = "(((20000L * ({p})) + ({q})) div (2L * ({q}))) / cast(10000 as double)"
+    base = df.select(F.col(key), *quality_feature_exprs(text, stopwords))
     return base.select(
         F.col(key),
         F.col("__ntr__").alias("n_tokens"),
-        F.expr(r4.format(p="__stop__", q="__nt__")).alias("stopword_ratio"),
-        F.expr(r4.format(p="__dist__", q="__nt__")).alias("distinct_ratio"),
-        F.expr(r4.format(p="__chars__", q="__nt__")).alias("mean_word_len"),
-        F.expr(r4.format(p=blend_num, q="400L * __nt__")).alias("quality"),
+        ratio4_expr("__stop__", "__nt__").alias("stopword_ratio"),
+        ratio4_expr("__dist__", "__nt__").alias("distinct_ratio"),
+        ratio4_expr("__chars__", "__nt__").alias("mean_word_len"),
+        ratio4_expr(QUALITY_BLEND_NUM, "400L * __nt__").alias("quality"),
     )
 
 

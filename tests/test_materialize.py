@@ -239,6 +239,25 @@ def test_materialize_restages_when_staging_dir_vanishes(df, tmp_path):
     mat._staged_paths.clear()
 
 
+def test_vanished_dir_on_genuinely_staged_frame_raises_clearly(df, tmp_path):
+    """r11 ADVICE: a frame materialize() itself returned reads its
+    staging dir — if that dir is deleted, re-staging replays the read of
+    the deleted files and cannot repair. The fall-through must surface a
+    clear 'staging dir deleted' error, not a raw Spark read failure."""
+    import shutil
+
+    import pytest
+
+    mat._staged_paths.clear()
+    mat.set_materialization("parquet", directory=str(tmp_path / "stage"))
+    out = mat.materialize(df)
+    path = out.__dict__[mat._STAGE_PATH_ATTR]
+    shutil.rmtree(path)  # delete out from under the live frame
+    with pytest.raises(RuntimeError, match="staging directory .* deleted"):
+        mat.materialize(out)
+    mat._staged_paths.clear()
+
+
 def test_stamp_column_name_collision_safe(spark):
     """r9 ADVICE: a table with a column literally named like the stamp
     must not trip DataFrame.__getattr__ column resolution (getattr on an
