@@ -11,7 +11,19 @@ linear algorithms look superlinear. Instead:
 
 - documents: fresh docs sampled from the measured per-language token
   frequencies, source mix, and an empirical resample of the observed
-  token-length distribution (50,000 docs = 10x sf0.1).
+  token-length distribution (50,000 docs = 10x sf0.1), PLUS a
+  Heaps-law hapax tail (r11 verdict #3): the driver corpus draws from
+  a 31-token-per-language vocabulary, so at sf0.1+ every 3-gram
+  repeats corpus-wide and any boilerplate gate (q100/q120
+  ``boiler_ratio <= 0.95``) saturates to 0 keepers — both engines
+  agree, but the 1000x hash check compares empty sets. Real corpora
+  grow vocabulary with size (Heaps' law; hapax legomena are ~half of
+  the distinct types), so TAIL_MIX of the docs replace a per-doc
+  TAIL_RANGE fraction of token slots with corpus-unique tail tokens
+  (``zq<counter>``). Those docs carry genuinely unique 3-grams
+  (boiler_ratio well below the gate) while the rest stay fully
+  templated, so the keep/drop gate discriminates at sf1 and q120's
+  manifest is non-degenerate.
 - embeddings: fresh vectors from the measured per-label centroid +
   per-dimension residual std (8,000 = 4x sf0.1, matching the driver's
   own 4x-per-decade progression for this table).
@@ -42,6 +54,16 @@ N_DOCS = 50_000
 N_VECS = 8_000
 N_EVENTS = 1_000_000
 N_USERS = 15_000
+
+# Heaps-law hapax tail for documents (see module docstring): TAIL_MIX of
+# docs get a per-doc tail fraction drawn uniformly from TAIL_RANGE; each
+# tail slot becomes a corpus-unique token. 0.45 * U(0.05, 0.30) keeps
+# the expected unique-3-gram share of a tailed doc at ~3*f in (15%,
+# 66%) — comfortably under the 0.95 boilerplate gate — while the other
+# 55% of docs stay fully templated (boiler ~1.0, dropped), so the gate
+# splits the corpus instead of saturating.
+TAIL_MIX = 0.45
+TAIL_RANGE = (0.05, 0.30)
 
 
 def gen_documents(con: duckdb.DuckDBPyConnection, rng: np.random.Generator) -> None:
@@ -79,14 +101,28 @@ def gen_documents(con: duckdb.DuckDBPyConnection, rng: np.random.Generator) -> N
 
     total = sum(c for _, c in langs)
     texts, lang_col, src_col = [], [], []
+    n_tail_tokens = 0  # global counter -> tail tokens corpus-unique
     for lang, c in langs:
         n = round(N_DOCS * c / total)
         toks, p = by_lang[lang]
         doc_lens = rng.choice(lens, size=n)  # empirical resample
         flat = rng.choice(len(toks), size=int(doc_lens.sum()), p=p)
         offs = np.concatenate([[0], np.cumsum(doc_lens)]).astype(np.int64)
+        # Heaps-law hapax tail: per-doc fraction of slots replaced by
+        # corpus-unique tokens (0 for 1-TAIL_MIX of the docs).
+        tail_frac = np.where(
+            rng.random(n) < TAIL_MIX,
+            rng.uniform(TAIL_RANGE[0], TAIL_RANGE[1], size=n),
+            0.0,
+        )
         for i in range(n):
-            texts.append(" ".join(toks[j] for j in flat[offs[i] : offs[i + 1]]))
+            words = [toks[j] for j in flat[offs[i] : offs[i + 1]]]
+            if tail_frac[i] > 0 and words:
+                mask = rng.random(len(words)) < tail_frac[i]
+                for k in np.nonzero(mask)[0]:
+                    words[int(k)] = f"zq{n_tail_tokens:06d}"
+                    n_tail_tokens += 1
+            texts.append(" ".join(words))
             lang_col.append(lang)
             src_col.append(sources[int(rng.integers(len(sources)))])
     doc_id = np.arange(len(texts), dtype=np.int64)
