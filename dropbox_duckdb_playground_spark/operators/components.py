@@ -322,6 +322,15 @@ def pagerank(
       for eager per-round materialize/persist variants — job-launch
       overhead, not recomputation, was the cost.
 
+    Prelude job count adjudicated (r12, tools/decompose_q92.py): the
+    three serial driver actions (edge materialize, node materialize,
+    count) resist the q62/q107 concurrent-staging trick — overlapping
+    an independent nodes-distinct count under the edge materialize
+    measured SLOWER (2.49s vs 2.27s committed at sf0.1; lazy-persist
+    of the node table slower still at 2.80s) because the count job is
+    real executor work contending for the same cores, unlike the
+    driver-literal centroid writes that made q62/q107's overlap free.
+
     ``checkpoint_every`` (default None) exists for LARGE iteration
     counts, where an unrolled plan's analysis/planning time grows with
     depth: set a cadence (e.g. 10) and the rank vector is materialized

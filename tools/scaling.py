@@ -90,6 +90,15 @@ SF1_QUERIES = [
     "q116_bigram_pmi",
     "q120_train_manifest",
     "q121_fuzzy_match",
+    # r12: close the slope blind spot — the six steepest slope10 rows
+    # that had no sf1 cell (q121 taught that hidden superlinears live
+    # exactly here)
+    "q115_positional_index",
+    "q06_two_key_left",
+    "q112_grouping_sets",
+    "q114_sliding_window",
+    "q117_array_suite",
+    "q122_gapfill_locf",
 ]
 
 
