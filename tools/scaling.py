@@ -99,6 +99,19 @@ SF1_QUERIES = [
     "q114_sliding_window",
     "q117_array_suite",
     "q122_gapfill_locf",
+    # r12 second sweep: every remaining no-cell row with slope10 >= 2.5
+    # in the r11 SCALING table (q15's 8.34 was steeper than any of the
+    # verdict's named six)
+    "q15_event_kv",
+    "q32_struct_flatten",
+    "q82_tpch_q4",
+    "q20_token_stats",
+    "q58_scd2_history",
+    "q14_event_json_agg",
+    "q97_unpivot_measures",
+    "q60_vocabulary",
+    "q21_quality_score",
+    "q18_sessions",
 ]
 
 
