@@ -23,7 +23,11 @@ all-pairs similarity on a saturated key space is quadratic on any
 engine. Real corpora keep vocab growing with size (posting lists stay
 short); the 100 TB guard for corpora that do saturate is the hot-key
 frequency cap (`max_shingle_freq` / `max_block_size`), measured here
-via the capped variants.
+via the capped variants. Since r12 the synthesized sf1 corpus adds a
+Heaps-law hapax tail (gen_sf1 TAIL_MIX — 45% of docs carry 5-30%
+corpus-unique tokens), which de-saturates the boilerplate gate
+(q100/q120 keep non-zero rows at sf1) but leaves the templated core
+dominant: the uncapped pair miners stay data-quadratic and excluded.
 
 Usage: python tools/scaling.py [out_md] [--no-sf1]   (writes SCALING.md)
 """
