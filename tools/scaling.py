@@ -116,6 +116,77 @@ SF1_QUERIES = [
     "q60_vocabulary",
     "q21_quality_score",
     "q18_sessions",
+    # r12 third sweep: the ENTIRE remaining catalog — every row now
+    # carries an sf1 cell, closing the r11 verdict's missing-#2 (the
+    # slope blind spot) completely. These are the <1s, slope10<2.5
+    # rows; expected flat-to-sublinear, verified rather than assumed.
+    "q30_rollup",
+    "q31_star_exclude",
+    "q33_canon_match",
+    "q39_bpe_tokens",
+    "q40_scrub_pii",
+    "q41_stratified_sample",
+    "q44_asof_join",
+    "q45_range_join",
+    "q46_time_rollup",
+    "q49_skew_join",
+    "q51_tpch_q3",
+    "q52_tpch_q5",
+    "q53_tpch_q10",
+    "q54_table_stats",
+    "q55_event_cube",
+    "q56_above_cust_avg",
+    "q59_snapshot_cdc",
+    "q61_idf",
+    "q63_media_features",
+    "q66_doc_chunks",
+    "q68_unigram_logprob",
+    "q69_frame_plan",
+    "q70_media_resize",
+    "q71_tpch_q18",
+    "q72_tpch_q7",
+    "q74_supplier_cnt",
+    "q75_market_share",
+    "q76_dormant_customers",
+    "q77_event_funnel",
+    "q78_sessionization",
+    "q81_stratified_sample",
+    "q83_tpch_q12",
+    "q84_tpch_q13",
+    "q85_tpch_q15",
+    "q86_tpch_q17",
+    "q87_tpch_q19",
+    "q90_sequence_packing",
+    "q94_countmin_freq",
+    "q96_window_suite",
+    "q98_tpch_q6",
+    "q99_tpch_q9",
+    "q104_source_mixture",
+    "q110_tokenizer_fertility",
+    "q111_zorder_layout",
+    "q113_bag_setops",
+    "q118_percentile_cont",
+    "q119_fk_integrity",
+    "q123_retention_cohorts",
+    "q124_ab_test",
+    "q01_pricing_summary",
+    "q02_brand_nodes",
+    "q03_latest_order",
+    "q04_best_order",
+    "q05_cust_order_stats",
+    "q07_exists_orders",
+    "q08_cust_no_orders",
+    "q09_same_nation_pairs",
+    "q10_id_remap",
+    "q11_union_nations",
+    "q12_union_all_tagged",
+    "q13_cust_rank",
+    "q16_doc_tokens",
+    "q17_event_hourly",
+    "q19_event_pivot",
+    "q22_lang_id",
+    "q23_fingerprint",
+    "q24_exact_dedup",
 ]
 
 
