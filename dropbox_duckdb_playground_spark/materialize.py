@@ -190,13 +190,29 @@ def materialize(df: DataFrame) -> DataFrame:
         try:
             df.write.mode("overwrite").parquet(path)
         except Exception as exc:
-            if vanished is not None:
+            # Only relabel the failure as the vanished-staging error
+            # when the exception actually looks like a missing-path
+            # read failure (r12 ADVICE: an unrelated disk-full or
+            # permission error during the re-stage write must not be
+            # mislabeled as 'staging directory was deleted'); anything
+            # else propagates untouched.
+            missing_markers = (
+                "Path does not exist",
+                "PATH_NOT_FOUND",
+                "FileNotFoundException",
+                "No such file",
+            )
+            looks_missing = isinstance(exc, FileNotFoundError) or any(
+                m in str(exc) for m in missing_markers
+            )
+            if vanished is not None and looks_missing:
                 raise RuntimeError(
                     f"staging directory {vanished!r} was deleted while a "
                     "frame reading it was still live (clear_staging "
                     "called mid-query, or external cleanup); the frame's "
                     "lineage reads the deleted files, so re-staging "
-                    "cannot repair it — recompute from source"
+                    "cannot repair it — recompute from source (the "
+                    "chained cause below is the authoritative failure)"
                 ) from exc
             raise
         out = df.sparkSession.read.parquet(path)

@@ -53,10 +53,16 @@ def _concurrent_writes(*thunks) -> None:
         first = errs[0]
         for extra in errs[1:]:
             # surface every failure, not just the first (r11 ADVICE):
-            # PEP-678 notes render in the traceback on 3.11+.
+            # PEP-678 notes render in the traceback on 3.11+; on older
+            # interpreters append to args so the extra failures still
+            # land in the rendered message instead of being dropped
+            # (r12 ADVICE — the 'all failures propagate' contract must
+            # hold on every supported interpreter, not just 3.11+).
             note = f"additional concurrent-write failure: {extra!r}"
             if hasattr(first, "add_note"):
                 first.add_note(note)
+            else:  # pragma: no cover — Python < 3.11 only
+                first.args = first.args + (note,)
         raise first
 
 

@@ -268,3 +268,49 @@ def test_stamp_column_name_collision_safe(spark):
     assert out is not tricky
     assert out.__dict__[mat._DONE_ATTR] == "local"
     assert _rows(out) == _rows(tricky)
+
+
+def test_vanished_dir_unrelated_write_failure_not_mislabeled(df, tmp_path, monkeypatch):
+    """r12 ADVICE: when the vanished-staging fall-through is active, an
+    UNRELATED re-stage write failure (disk full, permissions) must
+    propagate as itself — only missing-path-looking errors get the
+    'staging directory was deleted' relabel."""
+    import pytest
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    mat._staged_paths.clear()
+    mat.set_materialization("parquet", directory=str(tmp_path / "stage2"))
+    fresh = df.select("*")
+    fresh.__dict__[mat._DONE_ATTR] = "parquet"
+    fresh.__dict__[mat._STAGE_PATH_ATTR] = str(tmp_path / "stage2" / "gone")
+
+    def boom(self, path, *a, **k):
+        raise RuntimeError("simulated disk full during re-stage")
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
+    with pytest.raises(RuntimeError, match="disk full"):
+        mat.materialize(fresh)
+    mat._staged_paths.clear()
+
+
+def test_vanished_dir_missing_path_failure_still_relabeled(df, tmp_path, monkeypatch):
+    """Companion to the above: a missing-path-looking write failure in
+    the fall-through DOES get the clear vanished-staging relabel, with
+    the original chained as authoritative cause."""
+    import pytest
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    mat._staged_paths.clear()
+    mat.set_materialization("parquet", directory=str(tmp_path / "stage3"))
+    fresh = df.select("*")
+    fresh.__dict__[mat._DONE_ATTR] = "parquet"
+    fresh.__dict__[mat._STAGE_PATH_ATTR] = str(tmp_path / "stage3" / "gone")
+
+    def boom(self, path, *a, **k):
+        raise RuntimeError("Job aborted: Path does not exist: file:/x")
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", boom)
+    with pytest.raises(RuntimeError, match="staging directory .* deleted") as ei:
+        mat.materialize(fresh)
+    assert "Path does not exist" in str(ei.value.__cause__)
+    mat._staged_paths.clear()

@@ -205,3 +205,33 @@ def test_ivf_stage_dir_roundtrip(spark, tmp_path):
         "cand_id", "c_vec", "list_id",
     ]
     assert cent.count() == 4
+
+
+def test_concurrent_writes_notes_survive_without_add_note():
+    """r12 ADVICE: on interpreters without PEP-678 add_note the extra
+    concurrent failures must still be attached (appended to args), not
+    silently dropped — the 'all failures propagate' contract holds on
+    every interpreter."""
+    import pytest
+
+    from dropbox_duckdb_playground_spark.operators.similarity import (
+        _concurrent_writes,
+    )
+
+    class NoNotesError(Exception):
+        # accessing add_note raises AttributeError -> hasattr is False,
+        # simulating a pre-3.11 interpreter on the first error object
+        add_note = property()
+
+    def fail_first():
+        raise NoNotesError("first failure")
+
+    def fail_second():
+        raise RuntimeError("second failure")
+
+    with pytest.raises(NoNotesError) as exc_info:
+        _concurrent_writes(fail_first, fail_second)
+    joined = " ".join(str(a) for a in exc_info.value.args)
+    assert "first failure" in joined
+    assert "additional concurrent-write failure" in joined
+    assert "second failure" in joined
