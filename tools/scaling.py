@@ -189,6 +189,15 @@ SF1_QUERIES = [
     "q24_exact_dedup",
 ]
 
+# Rows whose sf1 reading is VOLATILE (in-artifact rep spread repeatedly
+# >~2x: q105 swung 20-106s across r11/r12 single cells while its
+# interleaved median held ~32s) get MEDIAN-OF-5 instead of 3, in BOTH
+# this tool and tools/sf1_bench.py, so SCALING cells and SF1_BENCH
+# medians stop disagreeing and needing manual arbitration every round
+# (r12 VERDICT #5). q29/q43 were checked while in here: SF1_BENCH r12
+# spark spreads 0.43/0.14 — fine at 3 reps.
+VOLATILE_REPS = {"q105_triangle_count": 5}
+
 
 def classify(slope: float) -> str:
     if slope < 2.0:
@@ -324,8 +333,13 @@ def main() -> int:
             # sf1 rep proved to be a coin-flip on the volatile rows —
             # q105 swung 26.6-77.5s in one night and the committed cell
             # was the worst reading. The median absorbs one bad rep and
-            # the rep count is stated in the artifact header.
-            sf1_times[name] = run(qs[name], SF1, name, reps=3, agg="median")
+            # the rep count is stated in the artifact header. Rows in
+            # VOLATILE_REPS (q105) get median-of-5: even a 3-rep median
+            # landed on the bad tail when 2 of 3 reps hit it (r12).
+            sf1_times[name] = run(
+                qs[name], SF1, name,
+                reps=VOLATILE_REPS.get(name, 3), agg="median",
+            )
             if sf1_times[name] > 15:
                 # a heavy row (the uncapped q26 baseline runs ~50s at
                 # sf1) leaves GC/shuffle-tracker state that inflates

@@ -38,7 +38,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
-from scaling import SF1_QUERIES  # noqa: E402
+from scaling import SF1_QUERIES, VOLATILE_REPS  # noqa: E402
 from sf1_mirror import EXCLUDED  # noqa: E402
 
 SF1 = os.path.join(REPO, "testdata_sf1")
@@ -158,10 +158,14 @@ def main() -> int:
         spark_reps: list[float] = []
         oracle_reps: list[float] = []
         oracle_errs: list[str] = []
+        # volatile rows (tools/scaling.VOLATILE_REPS — q105) run
+        # median-of-5 so this artifact and SCALING.md agree without
+        # per-round manual arbitration (r12 VERDICT #5)
+        n_reps = VOLATILE_REPS.get(name, REPS)
         try:
             fn(spark, SF_WARM).write.format("noop").mode("overwrite").save()
             quiesce(spark)
-            for _ in range(REPS):
+            for _ in range(n_reps):
                 t0 = time.time()
                 fn(spark, SF1).write.format("noop").mode("overwrite").save()
                 spark_reps.append(time.time() - t0)
@@ -189,7 +193,7 @@ def main() -> int:
             row["oracle"] = None
             row["oracle_err"] = "rows-only query (no oracle)"
         else:
-            row.update(oracle_row_fields(oracle_reps, oracle_errs))
+            row.update(oracle_row_fields(oracle_reps, oracle_errs, reps=n_reps))
         results[name] = row
         print(
             f"SF1BENCH {name}: spark={row.get('spark')} "
@@ -208,7 +212,9 @@ def main() -> int:
         "sf": 1,
         "protocol": (
             "interleaved per query (spark rep / oracle rep alternating in "
-            f"one ~minute window), median of {REPS} reps per engine, "
+            f"one ~minute window), median of {REPS} reps per engine "
+            f"({', '.join(f'{q}: {n}' for q, n in VOLATILE_REPS.items())}"
+            " — volatile rows at higher rep count), "
             "shape-warmed Spark session, noop write vs DuckDB fetchall on "
             "the same sf1 parquet; per-row loadavg + rep spread recorded"
         ),

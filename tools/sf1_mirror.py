@@ -32,19 +32,20 @@ from scaling import SF1_QUERIES  # noqa: E402  (tools/ on path)
 SF1 = os.path.join(REPO, "testdata_sf1")
 PER_QUERY_TIMEOUT = 1200  # seconds, both engines + hash compare
 
-# Excluded: output-size-infeasible for a collect-and-hash mirror at
-# sf1 (uncapped pair miners on the saturated 31-token shingle space
-# produce ~10^8 candidate/pair rows by construction — SCALING.md's
-# documented data-inherent quadratic; both engines' pair SEMANTICS are
-# hash-verified at sf0.001/0.01/0.1 and the capped production variants
-# run here instead).
-EXCLUDED = {
-    "q25_minhash_pairs": "uncapped LSH candidate pairs ~O(n^2) rows at sf1",
-    "q26_jaccard_pairs": "uncapped exact pairs ~O(n^2) rows at sf1 (measurement baseline)",
-    "q35_hamming_pairs": "simhash hamming pairs ~O(n^2) rows on saturated corpus",
-    "q67_minhash_estimate": "estimate rides the uncapped candidate set",
-    "q38_cosine_neardup": "threshold pairs over 10x embeddings; oracle is O(n^2) brute force (18s at sf0.1)",
-}
+# EXCLUDED is empty since r13. History: through r12 the five uncapped
+# pair miners (q25/q26/q35/q67/q38) were excluded as
+# output-size-infeasible (~10^8 pair rows on the pre-r12 SATURATED
+# 31-token shingle space). The r12 gen_sf1 Heaps-law hapax tail
+# de-saturated that space, and an r13 probe of the oracles on the
+# regenerated corpus measured the actual full-sf1 result sets at
+# q25: 35,114 rows/2.5s, q26: 1/13.2s, q35: 12,397/2.1s,
+# q67: 35,114/2.1s, q38: 11,373/22.1s — all trivially
+# collect-and-hashable, so the miners now run in the mirror like
+# every other row (first full-sf1 hash greens recorded in
+# CORRECTNESS_LOCAL_r13_sf1_miners.txt). If a future corpus regen
+# re-saturates the shingle space, re-probe the oracle COUNTs before
+# re-adding exclusions here.
+EXCLUDED: dict[str, str] = {}
 
 
 def main() -> int:
