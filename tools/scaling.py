@@ -248,7 +248,14 @@ ROW_NOTES = {
         " any sf1 change; single-rep sf1 readings swing 20-106s"
         " across one night (r8: four cross-checks 20.4-65.4s; r9:"
         " 26.6/31.6/41.8/62.2s) — since r10 the sf1 cell is the"
-        " median of 3 in-session reps rather than one such coin-flip)"
+        " median of in-session reps rather than one such coin-flip,"
+        " and since r13 a VOLATILE_REPS row gets median-of-5 plus one"
+        " UNTIMED target-scale warm rep: an 8-rep probe showed the"
+        " FIRST sf1 execution in a JVM pays a ~100-130s one-time cost"
+        " before settling into a 20-50s band (the 74.89s r12 cell was"
+        " that first-touch outlier); under the settled protocol the"
+        " SCALING cell and the interleaved SF1_BENCH median agree"
+        " within ~4% (26.88s vs 25.79s, r13)"
     ),
 }
 
@@ -334,8 +341,16 @@ def main() -> int:
             # q105 swung 26.6-77.5s in one night and the committed cell
             # was the worst reading. The median absorbs one bad rep and
             # the rep count is stated in the artifact header. Rows in
-            # VOLATILE_REPS (q105) get median-of-5: even a 3-rep median
-            # landed on the bad tail when 2 of 3 reps hit it (r12).
+            # VOLATILE_REPS (q105) get median-of-5 AND one UNTIMED
+            # warm rep at the TARGET scale first: an r13 8-rep probe
+            # showed the FIRST sf1 execution in a JVM pays a ~100-130s
+            # one-time cost (the sf1 shuffle regime runs codegen paths
+            # the sf0.01 warm never compiles, plus first-touch heap
+            # growth) before settling into a 20-50s band — the
+            # committed 74.89s r12 cell was that first-touch outlier,
+            # not the plan.
+            if name in VOLATILE_REPS:
+                run(qs[name], SF1, name, reps=1)
             sf1_times[name] = run(
                 qs[name], SF1, name,
                 reps=VOLATILE_REPS.get(name, 3), agg="median",
@@ -354,8 +369,9 @@ def main() -> int:
         "(+ an sf1 column: 1000x, synthesized via tools/gen_sf1.py)",
         "",
         "Best-of-2 steady-state seconds per scale factor (sf1 column:",
-        "MEDIAN of 3 in-session reps — single-rep sf1 cells proved to be",
-        "coin-flips on the volatile rows)"
+        "MEDIAN of 3 in-session reps; VOLATILE_REPS rows get median-of-5",
+        "plus one untimed target-scale warm rep — single-rep sf1 cells",
+        "proved to be coin-flips on the volatile rows)"
         " (`tools/scaling.py`, local[32]). `slope10` = t(sf0.1)/t(sf0.01):",
         "the wall-cost multiplier for the last 10x of data; `slope1000` =",
         "t(sf1)/t(sf0.1) where measured. A query whose",

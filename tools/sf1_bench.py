@@ -165,6 +165,14 @@ def main() -> int:
         try:
             fn(spark, SF_WARM).write.format("noop").mode("overwrite").save()
             quiesce(spark)
+            if name in VOLATILE_REPS:
+                # one UNTIMED warm rep at the target scale: the first
+                # sf1 execution in a JVM pays a ~100-130s one-time cost
+                # on these rows (r13 probe — codegen paths the sf0.01
+                # warm never compiles + first-touch heap growth); timed
+                # reps must measure the settled regime
+                fn(spark, SF1).write.format("noop").mode("overwrite").save()
+                quiesce(spark)
             for _ in range(n_reps):
                 t0 = time.time()
                 fn(spark, SF1).write.format("noop").mode("overwrite").save()
