@@ -469,11 +469,25 @@ def triangle_count(
 
     - m <= limit (adjacency fits a broadcast): build out-adjacency
       arrays in ONE m-row shuffle (arrays bounded at O(sqrt(m)) entries
-      by the orientation — no monster rows on power-law graphs), hang
-      both endpoints' arrays on each edge via broadcast joins, sum a
+      by the orientation — no monster rows on power-law graphs), then
+      recover each oriented edge (u, v) WITH its tail adjacency nx by
+      EXPLODING the checkpointed adjacency table (orientation is a
+      bijection und -> oriented, so explode(adj) IS the oriented edge
+      set), hang the head's array via ONE broadcast join, sum a
       codegen'd size(array_intersect). NO wedge rows materialize or
       shuffle. Paired A/B at sf0.1 (1.2M edges, 41M wedges): 3.4s vs
-      the wedge form's 5.9s, every pair.
+      the wedge form's 5.9s, every pair. r13 restructure: the explode
+      replaces the former oriented-checkpoint + TWO broadcast joins
+      (oriented ⋈ a1 on u ⋈ a2 on v) — the a1 join was a no-op row-wise
+      (every oriented edge's tail u has at least that very edge in its
+      out-list, so the inner join on u never dropped a row) yet paid a
+      full broadcast build + probe per edge, and `oriented` itself no
+      longer needs a materialize barrier in this regime because its
+      ONLY consumer is the adjacency aggregate (the regime gate counts
+      the checkpointed `und` instead — same number, orientation is
+      1:1). Measured r13 (tools/decompose_q105.py, interleaved): one
+      fewer checkpoint job, one fewer broadcast; plan diff in
+      plans/r13/q105_triangle_count_{before,after}.txt.
     - m > limit: enumerate the wedge stream and probe it against the
       oriented edge set (shuffle_hash). At sf1 (12M edges on the
       saturated co-purchase graph) the intersect form measured 83s vs
@@ -506,6 +520,10 @@ def triangle_count(
         .distinct()
     )
     und = materialize(und)
+    # orientation maps every undirected edge to exactly one directed
+    # edge, so |und| == |oriented| and the regime gate can run on the
+    # already-checkpointed table — no oriented-side count job needed.
+    m = und.count()
     deg = (
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b").alias("node")))
@@ -529,21 +547,23 @@ def triangle_count(
         )
         .select("e.u", "e.v")
     )
-    oriented = materialize(oriented)
-    if oriented.count() <= broadcast_edge_limit:
+    if m <= broadcast_edge_limit:
         # Broadcast regime: out-adjacency arrays (bounded O(sqrt(m))
-        # entries by the orientation) hang on both edge endpoints via
-        # broadcast joins, and size(array_intersect) sums the closures
-        # — NO wedge rows materialize or shuffle.
+        # entries by the orientation). `oriented` stays LAZY here — its
+        # only consumer is the adjacency aggregate, whose checkpoint
+        # below is the barrier — and the edge set is recovered from the
+        # checkpointed arrays by explode, carrying the tail's adjacency
+        # nx in-row for free. One broadcast join (the head side) and
+        # size(array_intersect) sum the closures — NO wedge rows
+        # materialize or shuffle.
         adj = materialize(
             oriented.groupBy("u").agg(
                 F.sort_array(F.collect_list("v")).alias("nbrs")
             )
         )
-        a1 = adj.select(F.col("u").alias("x"), F.col("nbrs").alias("nx"))
         a2 = adj.select(F.col("u").alias("y"), F.col("nbrs").alias("ny"))
         closed = (
-            oriented.join(F.broadcast(a1), F.col("u") == F.col("x"))
+            adj.select(F.col("nbrs").alias("nx"), F.explode("nbrs").alias("v"))
             # INNER: a head with no out-edges closes nothing (and a
             # null array would hit the legacy size()=-1 trap —
             # docstring)
@@ -554,7 +574,9 @@ def triangle_count(
             F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles")
         )
     # Shuffle regime: enumerate the wedge stream and probe it against
-    # the oriented edge set.
+    # the oriented edge set (three consumers — e1, e2, probe — so the
+    # materialize barrier stays load-bearing here).
+    oriented = materialize(oriented)
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     # wedges centered at u: pairs of out-neighbors (v < w keeps each once)
