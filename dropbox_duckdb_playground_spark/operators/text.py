@@ -181,7 +181,22 @@ def winnow_fingerprints(
 
     Returns distinct (key, fp bigint). Everything is JVM window execs over
     one partition-by-doc shuffle; at 100 TB docs are the natural partition
-    unit so the shuffle is one pass and windows never cross executors."""
+    unit so the shuffle is one pass and windows never cross executors.
+
+    r13 measured dead end (tools/decompose_q42.py): an array-HOF form
+    (transform/slice/array_min computing hs + window-mins in-row, no
+    posexplode, no Window — plan shape 1 Exchange vs this form's 2) was
+    built, oracle-verified at sf0.001-0.1, and measured SLOWER in every
+    interleaved pair: medians 1.332s (this form) vs 1.624s at sf0.1
+    (-22%); still -29% after ruling out scan-split starvation with
+    SPARK_GRAFT_OPEN_COST=65536 (10 splits). The md5 work is identical
+    in both; the difference is HOF lambda evaluation (interpreted,
+    per-element boxing + per-gram slice allocations) vs this form's
+    codegen'd gram/hash projection streaming over one sorted exchange
+    whose shuffle files sit in page cache. The HOF shape only pays off
+    when the token exchange crosses a real network AND the scan itself
+    carries the parallelism — revisit on a cluster profile, keep the
+    window form here."""
     from pyspark.sql import Window
 
     from dropbox_duckdb_playground_spark.operators.dedup import _hex60
