@@ -52,6 +52,11 @@ ALLOWED = {
     # with data. The corpus-sized join below it is a hash equi-join.
     "q62_ivf_ann": "cartesian",
     # scalar-subquery idiom: crossJoin(broadcast(<1-row aggregate>)) to
+    # attach the 1-row countDistinct(doc_id) corpus size to the per-term
+    # document frequencies (r13 fix replacing the eager .first() scalar
+    # round-trip — same family as q68 below).
+    "q61_idf": "cartesian",
+    # scalar-subquery idiom: crossJoin(broadcast(<1-row aggregate>)) to
     # attach the corpus token total to the frequency table. The nested-
     # loop side is exactly one row by construction — Spark's standard
     # shape for a scalar, and the per-token work stays a hash equi-join.
