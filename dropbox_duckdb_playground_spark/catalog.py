@@ -6187,8 +6187,14 @@ def q121_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin the block partitioning: the shuffle is a few MB so AQE would
     # coalesce it to one task, but the JOIN OUTPUT is ~|block|^2 pair
     # evaluations — an explicit user repartition keeps the pair
-    # explosion spread across the cluster (AQE honors explicit counts)
-    p = p.repartition(32, "p_type", "blk")
+    # explosion spread across the cluster (AQE honors explicit counts).
+    # Scale-adaptive count (r13): defaultParallelism tracks cluster
+    # cores; the floor of 32 keeps the skew-balancing granularity on
+    # small/local masters (48 saturated blocks hash-spread over >=32
+    # buckets), where it is also byte-identical to the previously
+    # hard-coded 32 at every bench core count.
+    n_part = max(spark.sparkContext.defaultParallelism, 32)
+    p = p.repartition(n_part, "p_type", "blk")
     l, r = p.alias("l"), p.hint("merge").alias("r")
     pairs = l.join(
         r,
