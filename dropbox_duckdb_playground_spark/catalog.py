@@ -5153,32 +5153,34 @@ def q105_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle counting feasible at 100 TB where the naive three-way
     join explodes on hub nodes.
 
-    Edge derivation (r13, guide §2.4 remove shuffles): the co-purchase
-    pairs are generated IN-ROW from each order's sorted distinct part
-    set (groupBy l_orderkey + collect_set, then posexplode x slice —
-    pairs a<b fall out of the sort order), replacing the former
-    lineitem self-join on l_orderkey.  Same edge set by construction
-    (the downstream distinct collapses the self-join's within-order
-    duplicate pairs exactly like collect_set does), one narrow exchange
-    on the order key instead of a 600K-row broadcast build + probe, and
-    the per-basket pair fan-out C(k,2) is identical in both forms — a
-    giant basket costs the same either way, and the orientation bounds
-    everything downstream.  Interleaved A/B at sf0.1
-    (tools/decompose_q105b.py): 3.746s -> 3.330s median-of-5, grouped
-    form won EVERY pair, n_triangles identical each rep; the `degmat`
-    variant (materializing deg before the two orientation broadcasts)
-    measured -2.1% and stays out."""
+    Edge derivation: lineitem self-join on l_orderkey.  An in-row
+    grouped form (groupBy l_orderkey + sort_array(collect_set) +
+    posexplode x slice — one narrow exchange, no join) was adopted
+    briefly in r13 after winning every interleaved pair at sf0.1
+    (3.746s -> 3.330s median-of-5, tools/decompose_q105b.py) and then
+    REVERTED on the sf1 evidence: at 1000x the grouped form lost every
+    interleaved pair by ~50% (selfjoin 21.2/21.9/24.5s vs grouped
+    48.2/33.5/30.6s, identical n_triangles=18,844,880 every rep,
+    /tmp probe recorded in OPTIMIZATION_r13.md) — the
+    ObjectHashAggregate + double-Generate chain scales worse than the
+    join, whose build side stops fitting a broadcast exactly when the
+    data grows, i.e. the join form self-tunes with scale and the
+    grouped form does not.  Scale wins per the round brief; the sf0.1
+    delta (~0.4s) was floor-level."""
     from dropbox_duckdb_playground_spark.operators.components import triangle_count
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    per_order = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
-    edges = per_order.select(
-        "ps", F.posexplode("ps").alias("i", "src")
-    ).select(
-        "src",
-        F.explode(F.slice("ps", F.col("i") + F.lit(2), F.size("ps"))).alias("dst"),
+    l1 = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = l1.alias("l2")
+    edges = (
+        l1.alias("l1")
+        .join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_partkey").alias("src"), F.col("l2.l_partkey").alias("dst")
+        )
     )
     return triangle_count(edges)
 
