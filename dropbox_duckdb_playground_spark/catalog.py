@@ -6474,8 +6474,8 @@ def q124_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CORRECTNESS_r08 — every catalog query is now driver-certified at
 # least once. r9 (offset 2) re-certifies q03..q52, continuing the
 # steady-state cycle.
-CATALOG_ROUND = 13
-DRIVER_WINDOW_OFFSET = 78
+CATALOG_ROUND = 14
+DRIVER_WINDOW_OFFSET = 4
 if not (CATALOG_ROUND >= 5 and DRIVER_WINDOW_OFFSET == (50 * (CATALOG_ROUND - 4)) % 124):
     # explicit raise, not `assert`: the guard must survive `python -O`
     raise RuntimeError(
