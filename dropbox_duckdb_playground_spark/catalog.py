@@ -3969,11 +3969,10 @@ def q91_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_SCALE = 1_000_000_000_000
 
-# q95: max distinct bench values collected to the driver for the
-# literal-bitmap fast path (~tens of MB of short strings). Beyond it
-# the query switches to the join-form Bloom filter, which never
-# collects the member set at all.
-_BLOOM_DRIVER_COLLECT_CAP = 1_000_000
+# q95's former driver-collect cap (_BLOOM_DRIVER_COLLECT_CAP) is gone:
+# since r14 the bitmap is packed in Spark (sketches.bloom_bitmap_agg)
+# and the driver collects <= m/64 words at any scale factor, so there
+# is no unbounded collect left to cap.
 
 
 def _pagerank_oracle(iterations: int = 3) -> str:
@@ -4309,69 +4308,50 @@ def q94_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q95_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter pre-screen for benchmark decontamination (the scale
     path for q48): the bench shingle set compresses to a fixed m=65536
-    bit positions, COLLECTED into an 8 KiB literal bitmap (the same
+    bit positions, collected into an 8 KiB literal bitmap (the same
     build-on-driver handshake Spark's own runtime bloom pushdown uses)
     — so the train-side probe is a shuffle-free per-row bit test inside
-    whole-stage codegen, not an explode+join+re-aggregate. The exact
-    membership join (needed only to measure the false-positive rate)
-    broadcasts the distinct bench shingles. Deterministic md5 bit
-    positions (Kirsch-Mitzenmacher double hashing — ONE md5 per
-    shingle, k derived positions) make the filter itself
-    hash-checkable across engines. TWO jobs total: one job collects
-    the distinct bench shingle set UNDER A HARD DRIVER-SIDE CAP
-    (``_BLOOM_DRIVER_COLLECT_CAP``; this query derives the "bench
-    suite" as a corpus slice, so its volume grows with SF — past the
-    cap the query switches to the join-form filter below and nothing
-    unbounded reaches the driver), the driver
-    derives the bitmap from it in pure Python
-    (``bloom_bitmap_from_values``, bit-identical md5 positions pinned
-    by a parity test), and the probe job makes one narrow pass over
-    the train slice with the in-row bit tests, a broadcast exact join
-    against the re-parallelized bench set (false-positive accounting),
-    and the per-doc aggregate — the only exchange in the whole probe
-    plan. Caching the exploded TRAIN shingle table was measured SLOWER
-    than recomputing the narrow pipeline (same result as q120's
-    digest-reuse note: a 2M-string-row cache re-scan loses to
-    compute)."""
+    whole-stage codegen, not an explode+join+re-aggregate. Deterministic
+    md5 bit positions (Kirsch-Mitzenmacher double hashing — ONE md5 per
+    shingle, k derived positions) make the filter itself hash-checkable
+    across engines.
+
+    r14 (VERDICT r13 #7, guide §8/§5): the bitmap is PACKED IN SPARK
+    (``bloom_bitmap_agg``: one bit_or aggregate over the bloom_bits
+    table), so the driver collects <= m/64 long rows — 8 KiB at ANY
+    scale factor — instead of up to _BLOOM_DRIVER_COLLECT_CAP bench
+    shingle strings (MBs pickled at sf0.1; the driver allocation spike
+    the r13 ParallelGC probe exposed on exactly this row). The pure-
+    Python md5 loop over the collected strings and the createDataFrame
+    re-parallelize for the exact join disappear with the collect; the
+    bench set is materialized ONCE and feeds both the bitmap aggregate
+    and the exact-membership join (false-positive accounting), which is
+    left UNHINTED — AQE broadcasts it at bench SFs and falls back to a
+    shuffle join when the bench slice outgrows the executor budget.
+    Because the driver payload is bounded by construction, the old
+    dual regime (capped literal path / join-form fallback) collapses
+    to this single scale-safe form. Interleaved A/B
+    (tools/decompose_q95.py): sf0.1 wash (1.924 vs 2.03 median-of-5),
+    sf1 new form wins EVERY pair (2.062 -> 1.969 median-of-3),
+    identical output digests at sf0.001/0.1/1 every run. Caching the
+    exploded TRAIN shingle table was measured SLOWER than recomputing
+    the narrow pipeline (same result as q120's digest-reuse note: a
+    2M-string-row cache re-scan loses to compute)."""
     from dropbox_duckdb_playground_spark.materialize import materialize
     from dropbox_duckdb_playground_spark.operators import sketches as SK
 
     d = load(spark, sf_dir, "documents")
     sh = D.shingles(d, n=3)
-    bench_distinct = sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
-    # Driver-side size guard: the bench side is a fixed benchmark SUITE
-    # in a real decontamination run, but THIS query derives it as a
-    # corpus slice (doc_id % 50), so its distinct-shingle volume grows
-    # with scale factor. limit(cap+1) bounds the collect (one row over
-    # the cap proves overflow without counting); past the cap the query
-    # falls back to the join-form filter — bloom_bits (<= m rows by
-    # construction) + broadcast bit join — and a distributed SHUFFLE
-    # exact join (no broadcast of the SF-growing bench side), so
-    # NOTHING unbounded lands on the driver or in a broadcast relation.
-    bench_vals = [
-        row[0]
-        for row in bench_distinct.limit(_BLOOM_DRIVER_COLLECT_CAP + 1).collect()
-    ]
+    # bench set computed ONCE (materialize barrier): the bitmap
+    # aggregate below and the exact-membership join in the final plan
+    # both read the stored blocks instead of re-deriving the distinct.
+    bench_m = materialize(
+        sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+    )
+    words = SK.bloom_bitmap_agg(SK.bloom_bits(bench_m, "shingle"))
     train = sh.filter(F.col("doc_id") % 50 != 0)
-    if len(bench_vals) <= _BLOOM_DRIVER_COLLECT_CAP:
-        words = SK.bloom_bitmap_from_values(bench_vals)
-        flags = SK.bloom_contains_bits(train, words, "shingle")
-        exact = F.broadcast(
-            spark.createDataFrame(
-                [(v,) for v in bench_vals], schema="shingle string"
-            ).withColumn("__hit__", F.lit(1))
-        )
-    else:
-        bench_m = materialize(bench_distinct)
-        flags = SK.bloom_contains(train, SK.bloom_bits(bench_m, "shingle"), "shingle")
-        # NO broadcast hint here: past the cap the bench set is by
-        # definition unbounded (SF-growing), and a broadcast would just
-        # move the unbounded collect from Python collect() into the
-        # JVM's broadcast-relation build (8 GB / driver-memory wall).
-        # A plain shuffle join on `shingle` keeps both sides
-        # distributed; AQE still downgrades it to broadcast at runtime
-        # if the materialized bench side turns out small.
-        exact = bench_m.withColumn("__hit__", F.lit(1))
+    flags = SK.bloom_contains_bits(train, words, "shingle")
+    exact = bench_m.withColumn("__hit__", F.lit(1))
     return (
         flags.join(exact, "shingle", "left")
         .groupBy("doc_id")

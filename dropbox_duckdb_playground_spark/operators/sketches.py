@@ -242,6 +242,31 @@ def bloom_bitmap(bits: DataFrame) -> list[int]:
     return words
 
 
+def bloom_bitmap_agg(bits: DataFrame) -> list[int]:
+    """Packed bitmap (m/64 little-endian words) from a ``bloom_bits``
+    table, PACKED IN SPARK: one bit_or aggregate groups the bit
+    positions into 64-bit words, so the driver collects at most m/64
+    long rows (8 KiB at m=65536) instead of the member set — the
+    fixed-size proxy handshake (guide §8) that keeps the driver
+    payload bounded BY CONSTRUCTION at any scale factor. Words are
+    bit-identical to :func:`bloom_bitmap` / `bloom_bitmap_from_values`
+    (same md5 positions; the shiftleft of bit 63 lands negative in the
+    JVM long and is re-read unsigned here), pinned by a parity test."""
+    rows = (
+        bits.groupBy(F.shiftright(F.col("bit"), 6).cast("int").alias("w"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT)))"
+            ).alias("word")
+        )
+        .collect()
+    )
+    words = [0] * (BLOOM_M // 64)
+    for r in rows:
+        words[r["w"]] = r["word"] & ((1 << 64) - 1)
+    return words
+
+
 def bloom_bitmap_from_values(values, salt: str = "bf:") -> list[int]:
     """Packed bitmap (m/64 little-endian longs) from an in-memory
     member list — the pure-Python twin of ``bloom_bits`` +

@@ -86,11 +86,27 @@ class TestBloom:
 
     def test_python_bitmap_parity(self, spark, ids):
         # the driver-side bitmap (pure-Python md5 path) must set
-        # exactly the bits the DataFrame path sets — q95 depends on it
+        # exactly the bits the DataFrame paths set — q95 depends on it
         values = [r.v for r in ids.collect()]
         py_words = SK.bloom_bitmap_from_values(values)
         df_words = SK.bloom_bitmap(SK.bloom_bits(ids, "v"))
         assert py_words == df_words
+
+    def test_agg_bitmap_parity(self, spark, ids):
+        # the Spark-side packed aggregate (r14 q95 handshake: <= m/64
+        # long rows collected instead of the member set) must produce
+        # the SAME words as the row-collect and pure-Python paths —
+        # including word 1023 / bit 63 (signed-long re-encode edge)
+        agg_words = SK.bloom_bitmap_agg(SK.bloom_bits(ids, "v"))
+        row_words = SK.bloom_bitmap(SK.bloom_bits(ids, "v"))
+        assert agg_words == row_words
+        assert len(agg_words) == SK.BLOOM_M // 64
+        # high-bit edge: force bits 63 and BLOOM_M-1 via a literal table
+        edge = spark.createDataFrame(
+            [(63,), (SK.BLOOM_M - 1,)], "bit int"
+        )
+        w = SK.bloom_bitmap_agg(edge)
+        assert w[0] == 1 << 63 and w[-1] == 1 << 63
 
     def test_python_bitmap_contains(self, spark, ids):
         values = [r.v for r in ids.collect()]
@@ -217,22 +233,21 @@ def test_countmin_weighted_equals_stream(spark):
     assert cells_stream == cells_weighted
 
 
-def test_q95_driver_cap_fallback_matches_literal_path(spark, sf_dir, monkeypatch):
-    """Past _BLOOM_DRIVER_COLLECT_CAP, q95 must switch to the join-form
-    Bloom filter (bloom_bits + broadcast bit join; nothing unbounded
-    collected to the driver) and produce EXACTLY the rows of the
-    literal-bitmap fast path."""
-    from dropbox_duckdb_playground_spark import catalog as C
+def test_q95_agg_bitmap_matches_collected_values_path(spark, sf_dir):
+    """r14: q95 packs its bloom bitmap in Spark (bloom_bitmap_agg) and
+    never collects the bench member set. The retired string-collect
+    path (bloom_bitmap_from_values over the collected distinct bench
+    shingles) must still produce the SAME words on the same bench
+    slice — the cross-path pin that replaces the old cap-fallback
+    equality test (the cap regime itself is gone: the driver payload
+    is bounded by construction now)."""
+    from dropbox_duckdb_playground_spark.catalog import load
+    from dropbox_duckdb_playground_spark.operators import dedup as D
 
-    fast = {
-        tuple(r) for r in C.REGISTRY["q95_bloom_contamination"].fn(
-            spark, sf_dir
-        ).collect()
-    }
-    monkeypatch.setattr(C, "_BLOOM_DRIVER_COLLECT_CAP", 1)
-    slow = {
-        tuple(r) for r in C.REGISTRY["q95_bloom_contamination"].fn(
-            spark, sf_dir
-        ).collect()
-    }
-    assert fast == slow and fast
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingles(d, n=3)
+    bench = sh.filter(F.col("doc_id") % 50 == 0).select("shingle").distinct()
+    agg_words = SK.bloom_bitmap_agg(SK.bloom_bits(bench, "shingle"))
+    values = [r[0] for r in bench.collect()]
+    assert values, "bench slice unexpectedly empty"
+    assert agg_words == SK.bloom_bitmap_from_values(values)

@@ -42,7 +42,15 @@ DEFAULT_QUERIES = [
 
 def counters(spark):
     sc = spark.sparkContext._jsc.sc()
-    return sc.dagScheduler().nextJobId().get(), sc.nextShuffleId().get()
+    # py4j auto-unboxes AtomicInteger.get-less calls differently across
+    # versions: nextJobId() may come back as the AtomicInteger or the int.
+    j = sc.dagScheduler().nextJobId()
+    if not isinstance(j, int):
+        j = j.get()
+    s = sc.nextShuffleId()
+    if not isinstance(s, int):
+        s = s.get()
+    return j, s
 
 
 def main() -> None:
