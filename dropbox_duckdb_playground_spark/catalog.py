@@ -5141,7 +5141,8 @@ def q105_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     REVERTED on the sf1 evidence: at 1000x the grouped form lost every
     interleaved pair by ~50% (selfjoin 21.2/21.9/24.5s vs grouped
     48.2/33.5/30.6s, identical n_triangles=18,844,880 every rep,
-    /tmp probe recorded in OPTIMIZATION_r13.md) — the
+    tools/decompose_q105_sf1edge.py, recorded in OPTIMIZATION_r13.md)
+    — the
     ObjectHashAggregate + double-Generate chain scales worse than the
     join, whose build side stops fitting a broadcast exactly when the
     data grows, i.e. the join form self-tunes with scale and the

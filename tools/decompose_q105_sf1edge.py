@@ -1,13 +1,17 @@
 """sf1 edge-build A/B feeding the REAL triangle_count operator
-(regime gate picks wedge at this scale). Interleaved, median-of-3."""
-import statistics, sys, time
-sys.path.insert(0, "/root/repo")
-sys.path.insert(0, "/root/repo/tools")
+(regime gate picks wedge at this scale). Interleaved, median-of-3.
+
+Usage: python tools/decompose_q105_sf1edge.py [sf1_dir]"""
+import os, statistics, sys, time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
 from decompose_q105b import _edges_selfjoin, _edges_grouped
 from dropbox_duckdb_playground_spark.operators.components import triangle_count
 from dropbox_duckdb_playground_spark.session import get_spark, quiesce
 
-SF1 = "/root/repo/testdata_sf1"
+SF1 = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "testdata_sf1")
 spark = get_spark("q105_sf1_edge_ab")
 FORMS = {"selfjoin": _edges_selfjoin, "grouped": _edges_grouped}
 def run(fn, sf):

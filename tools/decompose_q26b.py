@@ -66,6 +66,12 @@ def cur_exact(spark, sf_dir):
 
 
 def grouped_exact(spark, sf_dir):
+    # collect_list below is safe from duplicate doc_ids per group ONLY
+    # because D.shingles guarantees DISTINCT (doc_id, shingle) rows by
+    # contract (dedup.shingles docstring: "Distinct word n-gram
+    # shingles per document") — a duplicate emission would create
+    # self-pairs and inflated common counts in _pairs_from_groups
+    # (r13 ADVICE; the per-rep hash assertion would crash on it).
     sh = D.shingles(_load_docs(spark, sf_dir), n=3, with_size=True)
     hashed = sh.select(
         F.col("doc_id"), _hex60(F.col("shingle")).alias("sh"), F.col("sz")
