@@ -125,6 +125,17 @@ def main() -> None:
                 except Exception:
                     pass
                 quiesce(spark)
+        if name in volatile_reps:
+            # untimed TARGET-scale warm rep, the other half of the
+            # VOLATILE_REPS doctrine (tools/scaling.py): the first
+            # execution of this row's shapes in a restarted JVM pays a
+            # one-time codegen/heap cost the sf0.001 warm pass does not
+            # compile away, and the bench restarts every 40 queries.
+            try:
+                run_full(fn(spark, sf_dir))
+            except Exception:
+                pass
+            quiesce(spark)
         best = -1.0
         for _ in range(max(reps, volatile_reps.get(name, 0))):
             t0 = time.time()
