@@ -125,7 +125,7 @@ def main() -> None:
                 except Exception:
                     pass
                 quiesce(spark)
-        if name in volatile_reps:
+        if name in volatile_reps and os.environ.get("SPARK_GRAFT_NO_WARM") != "1":
             # untimed TARGET-scale warm rep, the other half of the
             # VOLATILE_REPS doctrine (tools/scaling.py): the first
             # execution of this row's shapes in a restarted JVM pays a
